@@ -1,0 +1,181 @@
+"""Annotation loading, answer vocabulary, and example grouping.
+
+Rebuild of the reference's datalist builders
+(src/tasks/run_video_qa.py:36-200) and grouping utilities
+(src/datasets/data_utils.py:276-338).
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter, defaultdict
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from sasvqa_tpu.core.logging import LOGGER
+from sasvqa_tpu.utils.basic import load_json, load_jsonl
+
+IGNORE_INDEX = -100
+
+OPEN_ENDED_TASKS = ("frameqa", "msrvtt_qa", "msvd_qa")
+
+ANSWER_TYPE2IDX = dict(
+    frameqa={"object": 0, "number": 1, "color": 2, "location": 3},
+    msrvtt_qa={k: i for i, k in enumerate(
+        ["what", "who", "how", "where", "when"])},
+    msvd_qa={k: i for i, k in enumerate(
+        ["what", "who", "how", "where", "when"])},
+)
+
+
+def load_datalist(task_type: str, anno_path: str,
+                  data_ratio: float = 1.0,
+                  rng: Optional[random.Random] = None) -> List[Dict[str, Any]]:
+    """JSON/JSONL annotations -> flat datalist.
+
+    msvd_qa: video field '<id>.avi' -> '<id>', carries sampled_inds
+    (run_video_qa.py:60-75); msrvtt_qa: video_id int -> 'video<id>',
+    answer_type inferred from the first question word (:76-94);
+    tgif tasks: jsonl with gif_name (:95-120).
+    """
+    datalist: List[Dict[str, Any]] = []
+    if task_type == "msvd_qa":
+        raw = load_json(anno_path)
+        for qid, d in enumerate(raw):
+            item = dict(question=d["question"], answer=d["answer"],
+                        video_id=d["video"].split(".")[0],
+                        answer_type=d["answer_type"], question_id=qid)
+            if "sampled_inds" in d:
+                item["sampled_inds"] = d["sampled_inds"]
+            datalist.append(item)
+    elif task_type == "msrvtt_qa":
+        raw = load_json(anno_path)
+        for qid, d in enumerate(raw):
+            question = d["question"]
+            item = dict(question=question, answer=d["answer"],
+                        video_id="video" + str(d["video_id"]),
+                        answer_type=question.split()[0], question_id=qid)
+            if "sampled_inds" in d:
+                item["sampled_inds"] = d["sampled_inds"]
+            datalist.append(item)
+    else:  # tgif-qa family: action / transition / frameqa
+        raw = load_jsonl(anno_path)
+        if data_ratio != 1.0:
+            rng = rng or random.Random(0)
+            raw = list(raw)
+            rng.shuffle(raw)
+            raw = raw[:int(len(raw) * data_ratio)]
+        for qid, d in enumerate(raw):
+            item = dict(
+                question=d["question"],
+                video_id=d.get("gif_name", d.get("video_id")),
+                answer=d["answer"], question_id=qid)
+            if task_type in ("action", "transition"):
+                item["options"] = d["options"]
+            elif task_type in ("frameqa", "msrvtt_qa"):
+                item["answer_type"] = d["answer_type"]
+            datalist.append(item)
+    LOGGER.info(f"loaded {len(datalist)} examples from {anno_path}")
+    return datalist
+
+
+def build_common_answer_dict(anno_files: Sequence[str],
+                             k: int = 1000) -> Dict[str, int]:
+    """Top-k train answers -> {answer: label} (run_video_qa.py:189-200)."""
+    answers: List[str] = []
+    for path in anno_files:
+        for qa in load_json(path):
+            answers.append(qa["answer"])
+    return {val: i for i, (val, _) in enumerate(Counter(answers).most_common(k))}
+
+
+def chunk_list(examples: List[Any], chunk_size: int = 2,
+               pad_to_divisible: bool = True) -> List[List[Any]]:
+    """Split into chunks of <= chunk_size, optionally padding the last
+    chunk with re-sampled earlier examples (data_utils.py:276-301)."""
+    n_examples = len(examples)
+    remainder = n_examples % chunk_size
+    if pad_to_divisible and remainder > 0:
+        n_pad = chunk_size - remainder
+        pad = random.sample(examples, k=n_pad) if n_pad <= n_examples \
+            else random.choices(examples, k=n_pad)
+        examples = examples + pad
+        n_examples = len(examples)
+    return [examples[i:i + chunk_size]
+            for i in range(0, n_examples, chunk_size)]
+
+
+def mk_input_group(key_grouped_examples: Dict[Any, List[Any]],
+                   max_n_example_per_group: int = 2,
+                   is_train: bool = True,
+                   example_unique_key: Optional[str] = None,
+                   ) -> List[Tuple[Any, List[Any]]]:
+    """Re-group examples into (key, [<=N examples]) tuples
+    (data_utils.py:304-338).  Eval always uses group size 1."""
+    input_groups = []
+    for k, examples in key_grouped_examples.items():
+        chunked = chunk_list(examples,
+                             chunk_size=max_n_example_per_group,
+                             pad_to_divisible=is_train)
+        for c in chunked:
+            input_groups.append((k, c))
+    if example_unique_key:
+        n_in = len([ex for exs in key_grouped_examples.values()
+                    for ex in exs])
+        n_out = len([ex for _, exs in input_groups for ex in exs])
+        LOGGER.info(f"grouped by {example_unique_key}: {n_in} -> {n_out}")
+    return input_groups
+
+
+def group_datalist(datalist: List[Dict[str, Any]],
+                   max_n_example_per_group: int = 2,
+                   is_train: bool = True) -> List[Tuple[str, List[Dict]]]:
+    """Group by video_id then chunk (run_video_qa.py:122-134)."""
+    grouped = defaultdict(list)
+    for d in datalist:
+        grouped[d["video_id"]].append(d)
+    return mk_input_group(
+        grouped,
+        max_n_example_per_group=max_n_example_per_group if is_train else 1,
+        is_train=is_train)
+
+
+def evaluate_qa(results: List[Dict[str, Any]],
+                qid2data: Dict[Any, Dict[str, Any]],
+                ans2label: Dict[str, int],
+                task_type: str) -> Dict[str, Any]:
+    """Overall + per-answer-type accuracy (dataset_video_qa.py:102-159)."""
+    import numpy as np
+
+    preds, gts, answer_types = [], [], []
+    qid2pred = {r["question_id"]: r["answer"] for r in results}
+    for qid, pred in qid2pred.items():
+        if isinstance(pred, list):
+            preds.extend(pred)
+        else:
+            preds.append(pred)
+        gt_data = qid2data[qid]
+        gts.append(ans2label.get(gt_data["answer"], IGNORE_INDEX))
+        if task_type in OPEN_ENDED_TASKS:
+            answer_types.append(
+                ANSWER_TYPE2IDX[task_type][gt_data["answer_type"]])
+
+    preds, gts = np.array(preds), np.array(gts)
+    metrics: Dict[str, Any] = {}
+    if IGNORE_INDEX in gts:
+        metrics["overall_acc"] = float(
+            sum(preds == gts) / sum(gts != IGNORE_INDEX))
+    else:
+        metrics["overall_acc"] = float(np.mean(preds == gts))
+
+    if task_type in OPEN_ENDED_TASKS:
+        answer_types = np.array(answer_types)
+        ratios = {}
+        for ans_type, idx in ANSWER_TYPE2IDX[task_type].items():
+            m = answer_types == idx
+            correct = preds[m] == gts[m]
+            metrics[f"{ans_type}_acc"] = (float(np.mean(correct))
+                                          if len(correct) else 0)
+            ratios[f"{ans_type}_ratio"] = [
+                1.0 * len(correct) / len(answer_types), len(correct)]
+        metrics["ratios"] = ratios
+    return metrics

@@ -1,0 +1,236 @@
+"""VideoQADataset + per-family batch collators.
+
+Rebuild of the reference dataset/collators
+(src/datasets/dataset_video_qa.py:17-406) with fixed-shape, jit-friendly
+outputs:
+
+- text padded to a fixed ``max_txt_len`` bucket (the reference pads
+  per-batch, which would recompile XLA per length — SURVEY.md §7.4#6);
+- frames re-sampled on the host by sampling/policies.py, producing a
+  static (B, T, H, W, C) tensor;
+- groups with >1 example repeat their frames per example on the host,
+  removing the reference's ragged ``repeat_counts`` device logic
+  (modeling.py:431-441).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sasvqa_tpu.data.annotations import IGNORE_INDEX
+from sasvqa_tpu.data.frame_store import FrameStoreReader
+from sasvqa_tpu.sampling import policies
+
+
+class VideoQADataset:
+    """Grouped datalist + frame store (dataset_video_qa.py:17-100)."""
+
+    def __init__(self, task_type: str,
+                 grouped_datalist: List[Tuple[str, List[Dict[str, Any]]]],
+                 frame_store: FrameStoreReader,
+                 vid2id: Dict[str, int],
+                 ans2label: Dict[str, int],
+                 return_label: bool = True,
+                 is_train: bool = True):
+        self.task_type = task_type
+        self.datalist = grouped_datalist
+        self.store = frame_store
+        self.vid2id = vid2id
+        self.ans2label = ans2label
+        self.return_label = return_label
+        self.is_train = is_train
+        self.open_ended = task_type in ("frameqa", "msrvtt_qa", "msvd_qa")
+        self.qid2data = {d["question_id"]: d
+                         for _, group in grouped_datalist for d in group}
+
+    def __len__(self) -> int:
+        return len(self.datalist)
+
+    def get_group(self, index: int) -> Dict[str, Any]:
+        vid, examples = self.datalist[index]
+        frames = self.store.read_nhwc(self.vid2id[vid])  # (K, H, W, 3)
+        exs = [self._single_example(e) for e in examples]
+        return dict(vid=frames, examples=exs, n_examples=len(exs),
+                    sampled_inds=exs[0].get("sampled_inds"))
+
+    def _single_example(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        ex = dict(q_str=data["question"], question_id=data["question_id"],
+                  label=data["answer"])
+        if data.get("sampled_inds") is not None:
+            ex["sampled_inds"] = data["sampled_inds"]
+        if self.task_type in ("action", "transition"):
+            ex["options_str_list"] = data["options"]
+        elif self.open_ended and self.return_label:
+            ex["str_label"] = ex["label"]
+            ex["label"] = self.ans2label.get(ex["label"], IGNORE_INDEX)
+        if not self.return_label:
+            ex["label"] = None
+        return ex
+
+
+def _resample_frames(items: List[Dict[str, Any]], policy: str, nframe: int,
+                     rng: Optional[np.random.Generator]) -> np.ndarray:
+    """(B_groups stored frames) -> (B_groups, T_out, H, W, C)."""
+    frames = np.stack([d["vid"] for d in items])      # (B, K, H, W, C)
+    b, k = frames.shape[:2]
+    sampled_inds = None
+    if policy == "question-caption":
+        sampled_inds = np.stack(
+            [np.asarray(d["sampled_inds"]) for d in items])
+    inds = policies.sample_indices(policy, k, nframe, rng=rng,
+                                   sampled_inds=sampled_inds, batch_size=b)
+    return policies.gather_frames(frames, inds)
+
+
+def _flatten_examples(items: List[Dict[str, Any]]):
+    examples = [e for d in items for e in d["examples"]]
+    n_examples = [d["n_examples"] for d in items]
+    return examples, n_examples
+
+
+def _repeat_rows(visual: np.ndarray, n_examples: Sequence[int]) -> np.ndarray:
+    if all(n == 1 for n in n_examples):
+        return visual
+    return np.repeat(visual, np.asarray(n_examples), axis=0)
+
+
+class ClassifierCollator:
+    """CLIP / BLIP classification batches
+    (VideoQACollator dataset_video_qa.py:173-238, BLIP :240-311).
+
+    tokenizer: any data/tokenization.py tokenizer (fixed-length padding).
+    """
+
+    def __init__(self, tokenizer, max_txt_len: int = 20,
+                 task_type: str = "msvd_qa", n_options: int = 5,
+                 nframe: int = 4, samp_policy: str = "random"):
+        self.tokenizer = tokenizer
+        self.max_txt_len = max_txt_len
+        self.task_type = task_type
+        self.n_options = n_options
+        self.nframe = nframe
+        self.samp_policy = samp_policy
+
+    def __call__(self, items: List[Dict[str, Any]],
+                 rng: Optional[np.random.Generator] = None,
+                 ) -> Dict[str, Any]:
+        visual = _resample_frames(items, self.samp_policy, self.nframe, rng)
+        examples, n_examples = _flatten_examples(items)
+        visual = _repeat_rows(visual, n_examples)
+
+        if self.task_type in ("action", "transition"):
+            texts = [f"{d['q_str']} {d['options_str_list'][i]}"
+                     for d in examples for i in range(self.n_options)]
+        else:
+            texts = [d["q_str"] for d in examples]
+        enc = self.tokenizer(texts, max_length=self.max_txt_len)
+
+        labels = None
+        if examples[0]["label"] is not None:
+            labels = np.asarray([int(d["label"]) for d in examples],
+                                dtype=np.int32)
+        return dict(
+            visual_inputs=visual.astype(np.float32),
+            text_input_ids=enc["input_ids"],
+            text_attention_mask=enc["attention_mask"],
+            labels=labels,
+            question_ids=[d["question_id"] for d in examples],
+            n_examples_list=n_examples,
+        )
+
+
+class GITCollator:
+    """GIT generative batches (GITVideoQACollator
+    dataset_video_qa.py:313-406).
+
+    Train (add_ans=True): input = [CLS] q + answer + [SEP], labels mask
+    the question prefix to -100 (the reference leaves padding positions
+    *supervised* — replicated by default, fix behind
+    ``mask_pad_labels=True``; see collate_batch :383-392).
+    Eval: prompt = [CLS] q (no trailing SEP), right-padded with
+    per-example lengths (deliberate fix of the reference's left-pad
+    position bug, SURVEY.md §7.4#7).
+    """
+
+    def __init__(self, tokenizer, max_txt_len: int = 20,
+                 max_seq_len: int = 32, task_type: str = "msvd_qa",
+                 nframe: int = 4, samp_policy: str = "random",
+                 add_ans: bool = True, mask_pad_labels: bool = False):
+        self.tokenizer = tokenizer
+        self.max_txt_len = max_txt_len
+        self.max_seq_len = max_seq_len
+        self.task_type = task_type
+        self.nframe = nframe
+        self.samp_policy = samp_policy
+        self.add_ans = add_ans
+        self.mask_pad_labels = mask_pad_labels
+
+    def __call__(self, items: List[Dict[str, Any]],
+                 rng: Optional[np.random.Generator] = None,
+                 ) -> Dict[str, Any]:
+        visual = _resample_frames(items, self.samp_policy, self.nframe, rng)
+        examples, n_examples = _flatten_examples(items)
+        visual = _repeat_rows(visual, n_examples)
+        tok = self.tokenizer
+        b = len(examples)
+
+        if self.add_ans:  # training: [CLS] q ans [SEP]
+            l = self.max_seq_len
+            ids = np.full((b, l), tok.pad_token_id, dtype=np.int32)
+            mask = np.zeros((b, l), dtype=np.int32)
+            labels = np.full((b, l), tok.pad_token_id, dtype=np.int32)
+            for i, d in enumerate(examples):
+                q_ids = [tok.cls_token_id] + tok.encode(
+                    d["q_str"], add_special_tokens=False)
+                a_ids = tok.encode(str(d["str_label"]),
+                                   add_special_tokens=False)
+                seq = (q_ids + a_ids + [tok.sep_token_id])[:l]
+                ids[i, :len(seq)] = seq
+                mask[i, :len(seq)] = 1
+                lab = np.array(ids[i])
+                # question prefix -> -100 (positions < len(q_ids))
+                lab[:min(len(q_ids), l)] = IGNORE_INDEX
+                if self.mask_pad_labels:
+                    lab[len(seq):] = IGNORE_INDEX
+                labels[i] = lab
+            return dict(
+                visual_inputs=visual.astype(np.float32),
+                text_input_ids=ids, text_attention_mask=mask,
+                labels=labels,
+                question_ids=[d["question_id"] for d in examples],
+                n_examples_list=n_examples,
+            )
+
+        # eval: [CLS] q, right-padded + explicit lengths
+        l = self.max_txt_len
+        ids = np.full((b, l), tok.pad_token_id, dtype=np.int32)
+        prompt_len = np.zeros((b,), dtype=np.int32)
+        for i, d in enumerate(examples):
+            seq = ([tok.cls_token_id]
+                   + tok.encode(d["q_str"], add_special_tokens=False))[:l]
+            ids[i, :len(seq)] = seq
+            prompt_len[i] = len(seq)
+        return dict(
+            visual_inputs=visual.astype(np.float32),
+            text_input_ids=ids, prompt_len=prompt_len,
+            labels=None,
+            question_ids=[d["question_id"] for d in examples],
+            n_examples_list=n_examples,
+        )
+
+
+def make_collator(family: str, tokenizer, cfg) -> Any:
+    """Family dispatch, mirroring run_video_qa.py:159-180."""
+    if family in ("clip", "blip"):
+        return ClassifierCollator(
+            tokenizer, max_txt_len=cfg.max_txt_len, task_type=cfg.task,
+            nframe=cfg.nframe, samp_policy=cfg.samp_policy)
+    if family == "git":
+        return GITCollator(
+            tokenizer, max_txt_len=cfg.max_txt_len,
+            max_seq_len=cfg.get("max_seq_len", cfg.max_txt_len + 12),
+            task_type=cfg.task, nframe=cfg.nframe,
+            samp_policy=cfg.samp_policy, add_ans=True)
+    raise ValueError(family)

@@ -1,0 +1,288 @@
+"""HF PyTorch -> Flax parameter converters for CLIP / GIT / BLIP.
+
+The reference loads pretrained encoders straight from the HF hub
+(src/modeling/modeling.py:286-287,303-304,321).  Here the torch state
+dict (from a local HF checkpoint directory or an in-memory model) is
+mechanically renamed into the Flax param tree of our modules.  Parity is
+asserted by tests/test_hf_parity.py on tiny randomly-initialised HF
+models — no network needed.
+
+Conventions:
+- torch ``Linear.weight`` (out, in) -> flax ``kernel`` (in, out): transpose
+- torch ``LayerNorm.weight/bias``   -> flax ``scale``/``bias``
+- torch ``Embedding.weight``        -> flax ``embedding``
+- patch conv kernel (D, C, p, p)    -> unfold Dense kernel (p*p*C, D)
+  via ``transpose(2, 3, 1, 0).reshape(p*p*C, D)`` (matches the
+  (ph, pw, c) flatten order of models/layers.py PatchEmbed)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()
+
+
+def _lin(sd, prefix):
+    return {"kernel": _np(sd[f"{prefix}.weight"]).T,
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _lin_nobias(sd, prefix):
+    return {"kernel": _np(sd[f"{prefix}.weight"]).T}
+
+
+def _ln(sd, prefix):
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _emb(sd, prefix):
+    return {"embedding": _np(sd[f"{prefix}.weight"])}
+
+
+def _patch_embed(sd, prefix, use_bias=False):
+    w = _np(sd[f"{prefix}.weight"])            # (D, C, p, p)
+    d = w.shape[0]
+    kernel = w.transpose(2, 3, 1, 0).reshape(-1, d)
+    out = {"proj": {"kernel": kernel}}
+    if use_bias:
+        out["proj"]["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _preln_block(sd, p):
+    """CLIP-style encoder layer (separate q/k/v/out projections)."""
+    return {
+        "self_attn": {
+            "q_proj": _lin(sd, f"{p}.self_attn.q_proj"),
+            "k_proj": _lin(sd, f"{p}.self_attn.k_proj"),
+            "v_proj": _lin(sd, f"{p}.self_attn.v_proj"),
+            "out_proj": _lin(sd, f"{p}.self_attn.out_proj"),
+        },
+        "layer_norm1": _ln(sd, f"{p}.layer_norm1"),
+        "layer_norm2": _ln(sd, f"{p}.layer_norm2"),
+        "mlp": {"fc1": _lin(sd, f"{p}.mlp.fc1"),
+                "fc2": _lin(sd, f"{p}.mlp.fc2")},
+    }
+
+
+def _blip_vision_block(sd, p):
+    """BLIP vision layer: combined qkv projection -> split into three."""
+    qkv_w = _np(sd[f"{p}.self_attn.qkv.weight"])      # (3D, D)
+    qkv_b = _np(sd[f"{p}.self_attn.qkv.bias"])
+    d = qkv_w.shape[1]
+    qw, kw, vw = qkv_w[:d], qkv_w[d:2 * d], qkv_w[2 * d:]
+    qb, kb, vb = qkv_b[:d], qkv_b[d:2 * d], qkv_b[2 * d:]
+    return {
+        "self_attn": {
+            "q_proj": {"kernel": qw.T, "bias": qb},
+            "k_proj": {"kernel": kw.T, "bias": kb},
+            "v_proj": {"kernel": vw.T, "bias": vb},
+            "out_proj": _lin(sd, f"{p}.self_attn.projection"),
+        },
+        "layer_norm1": _ln(sd, f"{p}.layer_norm1"),
+        "layer_norm2": _ln(sd, f"{p}.layer_norm2"),
+        "mlp": {"fc1": _lin(sd, f"{p}.mlp.fc1"),
+                "fc2": _lin(sd, f"{p}.mlp.fc2")},
+    }
+
+
+def _bert_attention(sd, p):
+    """BERT attention: {p}.self.{query,key,value} + {p}.output.{dense,LayerNorm}."""
+    return {
+        "query": _lin(sd, f"{p}.self.query"),
+        "key": _lin(sd, f"{p}.self.key"),
+        "value": _lin(sd, f"{p}.self.value"),
+        "out_dense": _lin(sd, f"{p}.output.dense"),
+        "out_ln": _ln(sd, f"{p}.output.LayerNorm"),
+    }
+
+
+# --------------------------------------------------------------------------
+# CLIP
+
+
+def convert_clip_text(sd: Dict[str, Any], num_layers: int,
+                      prefix: str = "text_model") -> Dict[str, Any]:
+    """HF CLIPTextModel state_dict -> CLIPTextEncoder params."""
+    params = {
+        "token_embedding": _emb(sd, f"{prefix}.embeddings.token_embedding"),
+        "position_embedding": _emb(
+            sd, f"{prefix}.embeddings.position_embedding"),
+        "final_layer_norm": _ln(sd, f"{prefix}.final_layer_norm"),
+    }
+    for i in range(num_layers):
+        params[f"layers_{i}"] = _preln_block(
+            sd, f"{prefix}.encoder.layers.{i}")
+    return params
+
+
+def convert_clip_vision(sd: Dict[str, Any], num_layers: int,
+                        prefix: str = "vision_model",
+                        projection_key: str = "visual_projection",
+                        ) -> Dict[str, Any]:
+    """HF CLIPVisionModel(WithProjection) state_dict -> CLIPVisionEncoder."""
+    params = {
+        "class_embedding": _np(sd[f"{prefix}.embeddings.class_embedding"]),
+        "patch_embedding": _patch_embed(
+            sd, f"{prefix}.embeddings.patch_embedding", use_bias=False),
+        "position_embedding": _emb(
+            sd, f"{prefix}.embeddings.position_embedding"),
+        "pre_layrnorm": _ln(sd, f"{prefix}.pre_layrnorm"),
+        "post_layernorm": _ln(sd, f"{prefix}.post_layernorm"),
+    }
+    for i in range(num_layers):
+        params[f"layers_{i}"] = _preln_block(
+            sd, f"{prefix}.encoder.layers.{i}")
+    if projection_key and f"{projection_key}.weight" in sd:
+        params["visual_projection"] = _lin_nobias(sd, projection_key)
+    return params
+
+
+# --------------------------------------------------------------------------
+# GIT
+
+
+def convert_git(sd: Dict[str, Any], num_layers: int,
+                num_vision_layers: int) -> Dict[str, Any]:
+    """HF GitForCausalLM state_dict -> GITForCausalLM params.
+
+    Note: ``git.img_temporal_embedding`` params (created when
+    num_image_with_embedding is set) are intentionally dropped — the
+    reference fork disables their use (modeling.py:86) so they stay
+    zero-initialised and contribute nothing.
+    """
+    params = {
+        "image_encoder": convert_clip_vision(
+            sd, num_vision_layers,
+            prefix="git.image_encoder.vision_model", projection_key=""),
+        "visual_projection": _lin(
+            sd, "git.visual_projection.visual_projection.0"),
+        "visual_projection_ln": _ln(
+            sd, "git.visual_projection.visual_projection.1"),
+        "word_embeddings": _emb(sd, "git.embeddings.word_embeddings"),
+        "position_embeddings": _emb(sd, "git.embeddings.position_embeddings"),
+        "emb_ln": _ln(sd, "git.embeddings.LayerNorm"),
+        "output": _lin(sd, "output"),
+    }
+    for i in range(num_layers):
+        p = f"git.encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": _bert_attention(sd, f"{p}.attention"),
+            "ffn": {
+                "intermediate": _lin(sd, f"{p}.intermediate.dense"),
+                "output": _lin(sd, f"{p}.output.dense"),
+                "ln": _ln(sd, f"{p}.output.LayerNorm"),
+            },
+        }
+    return params
+
+
+# --------------------------------------------------------------------------
+# BLIP
+
+
+def convert_blip_vision(sd: Dict[str, Any], num_layers: int,
+                        prefix: str = "") -> Dict[str, Any]:
+    """Standalone ``BlipVisionModel`` state dicts carry no prefix; pass
+    ``prefix='vision_model'`` when converting from a full BlipModel."""
+    pre = f"{prefix}." if prefix else ""
+    params = {
+        "class_embedding": _np(
+            sd[f"{pre}embeddings.class_embedding"]),
+        "patch_embedding": _patch_embed(
+            sd, f"{pre}embeddings.patch_embedding", use_bias=True),
+        "position_embedding": _np(
+            sd[f"{pre}embeddings.position_embedding"]),
+        "post_layernorm": _ln(sd, f"{pre}post_layernorm"),
+    }
+    for i in range(num_layers):
+        params[f"layers_{i}"] = _blip_vision_block(
+            sd, f"{pre}encoder.layers.{i}")
+    return params
+
+
+def convert_blip_text(sd: Dict[str, Any], num_layers: int,
+                      prefix: str = "",
+                      cross_attention: bool = True) -> Dict[str, Any]:
+    pre = f"{prefix}." if prefix else ""
+    params = {
+        "word_embeddings": _emb(sd, f"{pre}embeddings.word_embeddings"),
+        "position_embeddings": _emb(
+            sd, f"{pre}embeddings.position_embeddings"),
+        "emb_ln": _ln(sd, f"{pre}embeddings.LayerNorm"),
+        "pooler": _lin(sd, f"{pre}pooler.dense"),
+    }
+    for i in range(num_layers):
+        p = f"{pre}encoder.layer.{i}"
+        layer = {
+            "attention": _bert_attention(sd, f"{p}.attention"),
+            "ffn": {
+                "intermediate": _lin(sd, f"{p}.intermediate.dense"),
+                "output": _lin(sd, f"{p}.output.dense"),
+                "ln": _ln(sd, f"{p}.output.LayerNorm"),
+            },
+        }
+        if cross_attention and f"{p}.crossattention.self.query.weight" in sd:
+            layer["crossattention"] = _bert_attention(sd, f"{p}.crossattention")
+        params[f"layers_{i}"] = layer
+    return params
+
+
+# --------------------------------------------------------------------------
+# top-level assembly
+
+
+def convert_clip_video_qa(sd: Dict[str, Any], num_text_layers: int,
+                          num_vision_layers: int) -> Dict[str, Any]:
+    """Full CLIPModel (text+vision+projections) -> CLIPVideoQA encoder
+    params (fusion head + classifier stay randomly initialised, as in the
+    reference which trains them from scratch)."""
+    return {
+        "txt_model": convert_clip_text(sd, num_text_layers),
+        "vis_model": convert_clip_vision(sd, num_vision_layers),
+    }
+
+
+def merge_pretrained(init_params: Dict[str, Any],
+                     converted: Dict[str, Any]) -> Dict[str, Any]:
+    """Overlay converted weights onto an init param tree, keeping any
+    missing leaves (e.g. classifier head) from init.
+
+    Shape-mismatch-tolerant like the reference's
+    ``load_state_dict_with_mismatch`` (src/utils/load_save.py:65-94):
+    mismatched leaves keep their initialised values and are reported.
+    """
+    import jax.numpy as jnp
+
+    report = {"loaded": [], "mismatched": [], "missing_in_ckpt": []}
+
+    def _merge(dst, src, path):
+        out = {}
+        for k, v in dst.items():
+            kpath = f"{path}/{k}"
+            if k not in src:
+                report["missing_in_ckpt"].append(kpath)
+                out[k] = v
+            elif isinstance(v, dict):
+                out[k] = _merge(v, src[k], kpath)
+            else:
+                sv = jnp.asarray(src[k])
+                if sv.shape != v.shape:
+                    report["mismatched"].append(
+                        f"{kpath}: ckpt {sv.shape} vs model {v.shape}")
+                    out[k] = v
+                else:
+                    report["loaded"].append(kpath)
+                    out[k] = sv.astype(v.dtype)
+        return out
+
+    merged = _merge(init_params, converted, "")
+    return merged, report

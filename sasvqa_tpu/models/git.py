@@ -1,0 +1,378 @@
+"""Flax GIT (GenerativeImage2Text) causal-LM for video QA.
+
+Rebuild of the reference's forked GIT path (src/modeling/modeling.py:29-263
+``MyGitModel``/``MyGitForCausalLM``), TPU-first:
+
+- **Batched frame encoding.**  The reference encodes frames in a Python
+  loop (modeling.py:83-87); here all B*T frames go through the vision
+  tower as one batch and reshape to a (B, T*P, D) visual prefix.  This
+  is numerically identical because the fork *disables* the per-frame
+  temporal embedding add (modeling.py:86 is commented out) — frames are
+  interchangeable through the encoder.
+- **Image K/V caching at decode time.**  GIT's attention mask lets image
+  tokens attend only to image tokens (HF ``GitModel.create_attention_mask``),
+  so per-layer image hidden states are independent of the text.  The HF
+  generate path re-runs the full vision stack + all M image positions
+  every decode step; here the prompt-fill pass caches per-layer image
+  K/V once and each decode step processes exactly one token.
+- **Right-padded prompts with correct positions.**  The reference
+  left-pads eval prompts (dataset_video_qa.py:320,394) which, combined
+  with GIT's absolute position embeddings, mis-positions the prompt.
+  We right-pad and track per-example lengths instead (deliberate fix,
+  documented per SURVEY.md §7.4 item 7).
+
+Loss matches MyGitForCausalLM.forward (modeling.py:219-225): logits
+shifted past the ``num_image_tokens`` prefix, CE ignoring -100.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sasvqa_tpu.models.clip import CLIPVisionConfig, CLIPVisionEncoder
+from sasvqa_tpu.models.layers import ACT2FN, merge_heads, split_heads
+from sasvqa_tpu.ops.attention import NEG_INF, dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class GITConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 6
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 1024
+    layer_norm_eps: float = 1e-12
+    hidden_act: str = "gelu"
+    dropout: float = 0.1
+    pad_token_id: int = 0
+    cls_token_id: int = 101
+    sep_token_id: int = 102  # doubles as EOS for generation
+    vision: CLIPVisionConfig = dataclasses.field(
+        default_factory=lambda: CLIPVisionConfig(patch_size=16))
+
+    @property
+    def tokens_per_frame(self) -> int:
+        return (self.vision.image_size // self.vision.patch_size) ** 2 + 1
+
+
+GIT_BASE = GITConfig()
+
+
+class GitAttention(nn.Module):
+    """BERT-style attention block with exposed K/V projection for caching."""
+
+    hidden_size: int
+    num_heads: int
+    layer_norm_eps: float
+    dropout_rate: float
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.query = nn.Dense(self.hidden_size, dtype=self.dtype)
+        self.key = nn.Dense(self.hidden_size, dtype=self.dtype)
+        self.value = nn.Dense(self.hidden_size, dtype=self.dtype)
+        self.out_dense = nn.Dense(self.hidden_size, dtype=self.dtype)
+        self.out_ln = nn.LayerNorm(epsilon=self.layer_norm_eps,
+                                   dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def kv(self, hidden: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        k = split_heads(self.key(hidden), self.num_heads)
+        v = split_heads(self.value(hidden), self.num_heads)
+        return k, v
+
+    def attend(self, hidden: jax.Array, k: jax.Array, v: jax.Array,
+               bias: Optional[jax.Array], deterministic: bool = True,
+               use_flash: Optional[bool] = None) -> jax.Array:
+        q = split_heads(self.query(hidden), self.num_heads)
+        ctx = merge_heads(dot_product_attention(q, k, v, bias=bias,
+                                                use_flash=use_flash))
+        out = self.drop(self.out_dense(ctx), deterministic=deterministic)
+        return self.out_ln(hidden + out)
+
+    def __call__(self, hidden, bias=None, deterministic=True, use_flash=None):
+        k, v = self.kv(hidden)
+        return self.attend(hidden, k, v, bias, deterministic, use_flash)
+
+
+class GitFFN(nn.Module):
+    hidden_size: int
+    intermediate_size: int
+    activation: str
+    layer_norm_eps: float
+    dropout_rate: float
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.intermediate = nn.Dense(self.intermediate_size, dtype=self.dtype)
+        self.output = nn.Dense(self.hidden_size, dtype=self.dtype)
+        self.ln = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        h = self.output(ACT2FN[self.activation](self.intermediate(x)))
+        h = self.drop(h, deterministic=deterministic)
+        return self.ln(x + h)
+
+
+class GitLayer(nn.Module):
+    config: GITConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.config
+        self.attention = GitAttention(c.hidden_size, c.num_heads,
+                                      c.layer_norm_eps, c.dropout,
+                                      dtype=self.dtype)
+        self.ffn = GitFFN(c.hidden_size, c.intermediate_size, c.hidden_act,
+                          c.layer_norm_eps, c.dropout, dtype=self.dtype)
+
+    def __call__(self, x, bias=None, deterministic=True, use_flash=None):
+        x = self.attention(x, bias=bias, deterministic=deterministic,
+                           use_flash=use_flash)
+        return self.ffn(x, deterministic=deterministic)
+
+    def full_with_kv(self, x, bias=None, deterministic=True, use_flash=None):
+        """Forward pass that also returns this layer's input K/V (for
+        building decode caches during prompt fill)."""
+        k, v = self.attention.kv(x)
+        h = self.attention.attend(x, k, v, bias, deterministic, use_flash)
+        return self.ffn(h, deterministic=deterministic), (k, v)
+
+    def step(self, x_new, k_all, v_all, bias, deterministic=True):
+        """Single-token decode step: x_new (B, 1, D) attends over the
+        provided full K/V (image prefix + text cache)."""
+        h = self.attention.attend(x_new, k_all, v_all, bias, deterministic)
+        return self.ffn(h, deterministic=deterministic)
+
+
+def git_attention_bias(num_img: int, attention_mask: jax.Array,
+                       dtype=jnp.float32) -> jax.Array:
+    """The GIT combined mask (HF GitModel.create_attention_mask semantics):
+
+    - image rows attend to image columns only;
+    - text rows attend to all image columns + causal text columns,
+      additionally masked by the text padding mask.
+
+    Returns (B, 1, M+L, M+L) additive bias.
+    """
+    b, l = attention_mask.shape
+    m = num_img
+    s = m + l
+    idx = jnp.arange(s)
+    is_text_row = (idx >= m)[:, None]
+    is_text_col = (idx >= m)[None, :]
+    # causal over text block (global indices)
+    causal_ok = idx[None, :] <= idx[:, None]
+    ok = jnp.where(
+        is_text_row,
+        jnp.where(is_text_col, causal_ok, True),   # text row: img ok, text causal
+        ~is_text_col,                               # img row: img only
+    )
+    base = jnp.where(ok, 0.0, NEG_INF)[None, None]  # (1,1,S,S)
+    # text-key padding applies to text rows x text cols
+    pad = (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF  # (B, L)
+    pad_cols = jnp.pad(pad, ((0, 0), (m, 0)))[:, None, None, :]  # (B,1,1,S)
+    pad_bias = jnp.where(is_text_row[None, None], pad_cols, 0.0)
+    return (base + pad_bias).astype(dtype)
+
+
+class GITForCausalLM(nn.Module):
+    """GIT causal LM over a [visual prefix; text] sequence."""
+
+    config: GITConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.config
+        self.image_encoder = CLIPVisionEncoder(
+            c.vision, dtype=self.dtype, post_ln_all_tokens=True,
+            with_projection=False)
+        self.visual_projection = nn.Dense(c.hidden_size, dtype=self.dtype)
+        self.visual_projection_ln = nn.LayerNorm(
+            epsilon=c.vision.layer_norm_eps, dtype=self.dtype)
+        self.word_embeddings = nn.Embed(c.vocab_size, c.hidden_size,
+                                        dtype=self.dtype)
+        self.position_embeddings = nn.Embed(c.max_position_embeddings,
+                                            c.hidden_size, dtype=self.dtype)
+        self.emb_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype)
+        self.emb_drop = nn.Dropout(c.dropout)
+        self.layer = [GitLayer(c, dtype=self.dtype, name=f"layer_{i}")
+                      for i in range(c.num_layers)]
+        self.output = nn.Dense(c.vocab_size, dtype=self.dtype)
+
+    # ---- shared pieces -------------------------------------------------
+
+    def encode_frames(self, pixel_values: jax.Array) -> jax.Array:
+        """(B, T, H, W, C) -> projected visual prefix (B, T*P, D).
+
+        Batched equivalent of the reference per-frame loop with temporal
+        embeddings disabled (modeling.py:81-95).
+        """
+        b, t = pixel_values.shape[:2]
+        flat = pixel_values.reshape((b * t,) + pixel_values.shape[2:])
+        feats, _, _ = self.image_encoder(flat)          # (B*T, P, Dv)
+        p, dv = feats.shape[-2:]
+        feats = feats.reshape(b, t * p, dv)
+        return self.visual_projection_ln(self.visual_projection(feats))
+
+    def embed_text(self, input_ids: jax.Array, positions: jax.Array,
+                   deterministic: bool = True) -> jax.Array:
+        x = self.word_embeddings(input_ids) + self.position_embeddings(positions)
+        return self.emb_drop(self.emb_ln(x), deterministic=deterministic)
+
+    # ---- training / scoring forward ------------------------------------
+
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
+                 pixel_values: jax.Array,
+                 labels: Optional[jax.Array] = None,
+                 deterministic: bool = True,
+                 ) -> Dict[str, jax.Array]:
+        """Training/scoring pass.
+
+        input_ids/attention_mask: (B, L); pixel_values: (B, T, H, W, C);
+        labels: (B, L) with -100 ignored.  Returns dict with ``logits``
+        (B, M+L, V) and, when labels given, scalar ``loss``.
+        """
+        b, l = input_ids.shape
+        vis = self.encode_frames(pixel_values)          # (B, M, D)
+        m = vis.shape[1]
+        txt = self.embed_text(input_ids, jnp.arange(l)[None, :],
+                              deterministic=deterministic)
+        h = jnp.concatenate([vis, txt], axis=1)
+        bias = git_attention_bias(m, attention_mask, dtype=self.dtype)
+        for lyr in self.layer:
+            h = lyr(h, bias=bias, deterministic=deterministic)
+        logits = self.output(h)
+
+        out = {"logits": logits}
+        if labels is not None:
+            # shift past the image prefix (modeling.py:221-225)
+            shifted = logits[:, m:-1, :].astype(jnp.float32)
+            tgt = labels[:, 1:]
+            valid = tgt != -100
+            tgt_safe = jnp.where(valid, tgt, 0)
+            logp = jax.nn.log_softmax(shifted, axis=-1)
+            nll = -jnp.take_along_axis(logp, tgt_safe[..., None],
+                                       axis=-1)[..., 0]
+            out["loss"] = (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
+        return out
+
+    # ---- generation -----------------------------------------------------
+
+    def prompt_fill(self, input_ids: jax.Array, prompt_len: jax.Array,
+                    pixel_values: jax.Array, max_text_len: int,
+                    ) -> Tuple[jax.Array, Any]:
+        """Process image + right-padded prompt; build decode caches.
+
+        input_ids: (B, Lp) right-padded prompts; prompt_len: (B,) actual
+        lengths.  Returns (first generated token logits (B, V), cache
+        pytree).  The text K/V cache is sized to ``max_text_len``.
+        """
+        b, lp = input_ids.shape
+        attention_mask = (jnp.arange(lp)[None, :]
+                          < prompt_len[:, None]).astype(jnp.int32)
+        vis = self.encode_frames(pixel_values)
+        m = vis.shape[1]
+        txt = self.embed_text(input_ids, jnp.arange(lp)[None, :])
+        h = jnp.concatenate([vis, txt], axis=1)
+        bias = git_attention_bias(m, attention_mask, dtype=self.dtype)
+
+        img_kv, txt_kv = [], []
+        for lyr in self.layer:
+            h, (k, v) = lyr.full_with_kv(h, bias=bias)
+            img_kv.append((k[:, :, :m], v[:, :, :m]))
+            # text K/V padded out to the full decode budget
+            pad = max_text_len - lp
+            txt_kv.append((jnp.pad(k[:, :, m:], ((0, 0), (0, 0), (0, pad), (0, 0))),
+                           jnp.pad(v[:, :, m:], ((0, 0), (0, 0), (0, pad), (0, 0)))))
+        logits = self.output(h[:, m:])                   # (B, Lp, V)
+        # logits at each prompt's last token predict the first new token
+        last = jnp.take_along_axis(
+            logits, (prompt_len - 1)[:, None, None].repeat(
+                logits.shape[-1], axis=-1), axis=1)[:, 0]
+        cache = {"img_kv": img_kv, "txt_kv": txt_kv, "cur_len": prompt_len}
+        return last, cache
+
+    def decode_step(self, token: jax.Array, cache: Any,
+                    ) -> Tuple[jax.Array, Any]:
+        """One greedy-decode step: token (B,) -> (next logits (B, V), cache)."""
+        b = token.shape[0]
+        cur = cache["cur_len"]                           # (B,)
+        max_len = cache["txt_kv"][0][0].shape[2]         # static buffer size
+        h = self.embed_text(token[:, None], cur[:, None])  # (B, 1, D)
+
+        onehot = (jnp.arange(max_len)[None, :]
+                  == cur[:, None]).astype(self.dtype)     # (B, maxlen)
+        # text cols valid where idx <= cur (inclusive of the new token)
+        valid = jnp.arange(max_len)[None, :] <= cur[:, None]
+        txt_bias = jnp.where(valid, 0.0, NEG_INF)[:, None, None, :]
+
+        new_txt_kv = []
+        for i, lyr in enumerate(self.layer):
+            k_img, v_img = cache["img_kv"][i]
+            k_txt, v_txt = cache["txt_kv"][i]
+            k_new, v_new = lyr.attention.kv(h)           # (B, H, 1, Dh)
+            sel = onehot[:, None, :, None]
+            k_txt = k_txt * (1 - sel) + k_new * sel
+            v_txt = v_txt * (1 - sel) + v_new * sel
+            new_txt_kv.append((k_txt, v_txt))
+            m = k_img.shape[2]
+            bias = jnp.concatenate(
+                [jnp.zeros((b, 1, 1, m), self.dtype),
+                 txt_bias.astype(self.dtype)], axis=-1)
+            k_all = jnp.concatenate([k_img, k_txt], axis=2)
+            v_all = jnp.concatenate([v_img, v_txt], axis=2)
+            h = lyr.step(h, k_all, v_all, bias)
+        logits = self.output(h)[:, 0]                    # (B, V)
+        cache = dict(cache, txt_kv=new_txt_kv, cur_len=cur + 1)
+        return logits, cache
+
+
+def greedy_generate(model: GITForCausalLM, params, input_ids: jax.Array,
+                    prompt_len: jax.Array, pixel_values: jax.Array,
+                    max_text_len: int = 50,
+                    max_new_tokens: Optional[int] = None) -> jax.Array:
+    """Greedy decoding to ``max_text_len`` total text tokens per example.
+
+    Replaces the reference's ``model.generate(max_length=50)``
+    (modeling.py:333): each example stops at [SEP] or when its own text
+    length (prompt + generated) reaches ``max_text_len``; finished rows
+    emit pad.  Returns (B, max_new) generated token ids.
+    jit-able: fixed trip count scan, static shapes.
+    """
+    eos = model.config.sep_token_id
+    pad = model.config.pad_token_id
+    if max_new_tokens is None:
+        max_new_tokens = max_text_len - 1
+    max_new = max_new_tokens
+
+    logits, cache = model.apply(params, input_ids, prompt_len, pixel_values,
+                                max_text_len, method=model.prompt_fill)
+    first = jnp.argmax(logits, axis=-1)
+    over0 = prompt_len >= max_text_len         # no room for any new token
+    done0 = (first == eos) | over0
+    tok0 = jnp.where(done0, pad, first)
+
+    def body(carry, _):
+        tok, done, cache = carry
+        logits, cache = model.apply(params, tok, cache,
+                                    method=model.decode_step)
+        nxt = jnp.argmax(logits, axis=-1)
+        # position of nxt in the text sequence == updated cur_len
+        over = cache["cur_len"] >= max_text_len
+        nxt = jnp.where(done | over, pad, nxt)
+        done = done | over | (nxt == eos)
+        nxt = jnp.where(nxt == eos, pad, nxt)
+        return (nxt, done, cache), nxt
+
+    (_, _, _), toks = jax.lax.scan(
+        body, (tok0, done0, cache), None, length=max_new - 1)
+    out = jnp.concatenate([tok0[None], toks], axis=0)    # (max_new, B)
+    return out.T
