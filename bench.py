@@ -1,0 +1,88 @@
+"""Benchmark: QA-pairs/sec/chip on the flagship GIT-base video-QA model.
+
+Measures the jitted bf16 train step (ViT-B/16 vision tower, 8 frames per
+QA pair, 224x224, GIT text decoder) on whatever jax.devices() provides —
+the metric named in /root/repo/BASELINE.json.  Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the PyTorch reference publishes no numbers (BASELINE.md) and
+cannot run here (CUDA-only); the baseline constant below is the
+documented estimate for the reference's fp16 single-GPU train step on
+the same shapes (see BASELINE.md action item).  Until a measured torch
+number exists, vs_baseline is reported against this estimate.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference-implementation estimate, QA-pairs/sec on its original single
+# GPU at batch 6 x git-base 6-frame (msvd_qa_base.json). Placeholder until
+# measured; recorded so vs_baseline is stable across rounds.
+BASELINE_QA_PAIRS_PER_SEC = 10.0
+
+BATCH = 8
+FRAMES = 8
+IMG = 224
+TXT_LEN = 32
+
+
+def main():
+    from sasvqa_tpu.models.git import GIT_BASE, GITForCausalLM
+
+    model = GITForCausalLM(GIT_BASE, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 1000, size=(BATCH, TXT_LEN)).astype(np.int32)
+    mask = np.ones_like(ids)
+    labels = np.where(rng.random((BATCH, TXT_LEN)) < 0.5, ids, -100)
+    pixels = rng.normal(size=(BATCH, FRAMES, IMG, IMG, 3)).astype(np.float32)
+
+    key = jax.random.key(0)
+    params = jax.jit(model.init)(key, jnp.asarray(ids), jnp.asarray(mask),
+                                 jnp.asarray(pixels[:1, :1]))
+
+    import optax
+    tx = optax.adamw(1e-5)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, ids, mask, pixels, labels):
+        def loss_fn(p):
+            out = model.apply(p, ids, mask, pixels, labels=labels,
+                              deterministic=True)
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    args = (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(pixels),
+            jnp.asarray(labels))
+
+    # warmup / compile
+    params, opt_state, loss = train_step(params, opt_state, *args)
+    jax.block_until_ready(loss)
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss = train_step(params, opt_state, *args)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    qa_per_sec_chip = BATCH * n_steps / dt / n_chips
+    print(json.dumps({
+        "metric": "qa_pairs_per_sec_per_chip_git_base_8frame_train",
+        "value": round(qa_per_sec_chip, 3),
+        "unit": "qa_pairs/sec/chip",
+        "vs_baseline": round(qa_per_sec_chip / BASELINE_QA_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

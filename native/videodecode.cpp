@@ -1,0 +1,202 @@
+// Native video decode shim for the offline preprocessing stage.
+//
+// Replaces the reference's cv2-based frame loop + thread/queue pipeline
+// (reference: src/preprocessing/prefetch_loader.py:50-76 InputGen,
+// :93-115 threaded feeders): libavformat/libavcodec demux+decode,
+// libswscale resize + RGB24 conversion, exposed through a minimal C ABI
+// consumed via ctypes (sasvqa_tpu/data/video_decode.py).
+//
+// Also covers the PTS-window selective decode behavior of the
+// reference's PyAV path (src/datasets/decoder.py:105-200) via
+// vd_read_window's seek + bounded decode.
+//
+// Build: make -C native   (produces libvideodecode.so)
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <memory>
+
+namespace {
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  int stream_index = -1;
+  int sws_w = 0, sws_h = 0;
+};
+
+int open_stream(Decoder* d, const char* path) {
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) return -2;
+  d->stream_index =
+      av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (d->stream_index < 0) return -3;
+  AVStream* st = d->fmt->streams[d->stream_index];
+  const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+  if (!dec) return -4;
+  d->codec = avcodec_alloc_context3(dec);
+  if (!d->codec) return -5;
+  if (avcodec_parameters_to_context(d->codec, st->codecpar) < 0) return -6;
+  if (avcodec_open2(d->codec, dec, nullptr) < 0) return -7;
+  return 0;
+}
+
+bool ensure_sws(Decoder* d, int out_w, int out_h) {
+  if (d->sws && d->sws_w == out_w && d->sws_h == out_h) return true;
+  if (d->sws) sws_freeContext(d->sws);
+  d->sws = sws_getContext(d->codec->width, d->codec->height,
+                          d->codec->pix_fmt, out_w, out_h, AV_PIX_FMT_RGB24,
+                          SWS_BILINEAR, nullptr, nullptr, nullptr);
+  d->sws_w = out_w;
+  d->sws_h = out_h;
+  return d->sws != nullptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* vd_open(const char* path) {
+  auto* d = new Decoder();
+  if (open_stream(d, path) != 0) {
+    delete d;
+    return nullptr;
+  }
+  return d;
+}
+
+void vd_close(void* handle) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d) return;
+  if (d->sws) sws_freeContext(d->sws);
+  if (d->codec) avcodec_free_context(&d->codec);
+  if (d->fmt) avformat_close_input(&d->fmt);
+  delete d;
+}
+
+// width/height of the coded stream; fps as a double; nb_frames may be 0
+// when the container does not record it.
+int vd_info(void* handle, int* width, int* height, double* fps,
+            int64_t* nb_frames) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d) return -1;
+  AVStream* st = d->fmt->streams[d->stream_index];
+  *width = d->codec->width;
+  *height = d->codec->height;
+  AVRational r = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+  *fps = r.den ? static_cast<double>(r.num) / r.den : 0.0;
+  *nb_frames = st->nb_frames;
+  return 0;
+}
+
+// Sequentially decode, keep every `interval`-th frame, scale to
+// (out_w, out_h) RGB24 into `out` (capacity max_frames*out_h*out_w*3).
+// Returns the number of frames written, or <0 on error.
+// Mirrors the keep-every-intv-th loop of the reference InputGen
+// (prefetch_loader.py:57-67).
+int vd_read_frames(void* handle, int interval, int max_frames, int out_w,
+                   int out_h, uint8_t* out) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d || interval < 1 || max_frames < 1) return -1;
+  if (!ensure_sws(d, out_w, out_h)) return -2;
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int written = 0;
+  int64_t seen = 0;
+  const int frame_bytes = out_w * out_h * 3;
+  uint8_t* planes[1];
+  int strides[1] = {out_w * 3};
+
+  auto consume = [&](AVFrame* f) {
+    if (seen % interval == 0 && written < max_frames) {
+      planes[0] = out + static_cast<int64_t>(written) * frame_bytes;
+      sws_scale(d->sws, f->data, f->linesize, 0, d->codec->height, planes,
+                strides);
+      ++written;
+    }
+    ++seen;
+  };
+
+  int err = 0;
+  while (written < max_frames && av_read_frame(d->fmt, pkt) >= 0) {
+    if (pkt->stream_index == d->stream_index) {
+      if (avcodec_send_packet(d->codec, pkt) == 0) {
+        while (avcodec_receive_frame(d->codec, frame) == 0) consume(frame);
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  // flush decoder
+  avcodec_send_packet(d->codec, nullptr);
+  while (written < max_frames &&
+         avcodec_receive_frame(d->codec, frame) == 0)
+    consume(frame);
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return err < 0 ? err : written;
+}
+
+// Selective window decode: seek near start_sec, decode until end_sec,
+// keep up to max_frames frames evenly (every `interval`-th decoded frame
+// inside the window).  PTS-window behavior of the reference PyAV path
+// (decoder.py:105-200).
+int vd_read_window(void* handle, double start_sec, double end_sec,
+                   int interval, int max_frames, int out_w, int out_h,
+                   uint8_t* out) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d || interval < 1 || max_frames < 1) return -1;
+  if (!ensure_sws(d, out_w, out_h)) return -2;
+  AVStream* st = d->fmt->streams[d->stream_index];
+  double tb = av_q2d(st->time_base);
+  int64_t start_ts = static_cast<int64_t>(start_sec / tb);
+  av_seek_frame(d->fmt, d->stream_index, start_ts, AVSEEK_FLAG_BACKWARD);
+  avcodec_flush_buffers(d->codec);
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int written = 0;
+  int64_t seen = 0;
+  const int frame_bytes = out_w * out_h * 3;
+  uint8_t* planes[1];
+  int strides[1] = {out_w * 3};
+  bool past_end = false;
+
+  while (!past_end && written < max_frames &&
+         av_read_frame(d->fmt, pkt) >= 0) {
+    if (pkt->stream_index == d->stream_index &&
+        avcodec_send_packet(d->codec, pkt) == 0) {
+      while (avcodec_receive_frame(d->codec, frame) == 0) {
+        double t = frame->best_effort_timestamp * tb;
+        if (t > end_sec) {
+          past_end = true;
+          break;
+        }
+        if (t >= start_sec) {
+          if (seen % interval == 0 && written < max_frames) {
+            planes[0] = out + static_cast<int64_t>(written) * frame_bytes;
+            sws_scale(d->sws, frame->data, frame->linesize, 0,
+                      d->codec->height, planes, strides);
+            ++written;
+          }
+          ++seen;
+        }
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return written;
+}
+
+}  // extern "C"

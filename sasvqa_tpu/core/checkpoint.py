@@ -1,0 +1,110 @@
+"""Checkpoint / resume on Orbax.
+
+Replicates the reference's two checkpoint roles
+(src/utils/load_save.py:37-62, 239-307):
+
+- **eval snapshots**: ``ckpt/model_step_{N}`` params-only saves at each
+  validation (ModelSaver.save semantics);
+- **preemption restore**: ``restore/`` holds the full train state
+  (params + optimizer + step), atomically rotated, auto-resumed on
+  startup (E2E_TrainingRestorer semantics — Orbax gives us the atomic
+  rename rotation and retry behavior natively).
+
+Also captures run metadata (args.json + source zip), mirroring
+``save_training_meta`` (load_save.py:16-34).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+from sasvqa_tpu.core.logging import LOGGER
+from sasvqa_tpu.utils.basic import ensure_dir, save_json, zip_source_tree
+
+
+class ModelSaver:
+    """Eval-time params snapshots keyed by global step."""
+
+    def __init__(self, output_dir: str, max_to_keep: int = 10):
+        self.dir = ensure_dir(os.path.abspath(output_dir))
+        self._mgr = ocp.CheckpointManager(
+            self.dir, options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True))
+
+    def save(self, step: int, params: Any) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(params))
+
+    def restore(self, step: int, template: Optional[Any] = None) -> Any:
+        if template is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        return self._mgr.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+class TrainingRestorer:
+    """Full-train-state preemption checkpointing with auto-resume."""
+
+    def __init__(self, output_dir: str, save_steps: int = 100):
+        self.dir = ensure_dir(os.path.join(os.path.abspath(output_dir),
+                                           "restore"))
+        self.save_steps = max(int(save_steps), 1)
+        self._mgr = ocp.CheckpointManager(
+            self.dir, options=ocp.CheckpointManagerOptions(
+                max_to_keep=2, create=True))
+
+    @property
+    def restore_step(self) -> int:
+        latest = self._mgr.latest_step()
+        return int(latest) if latest is not None else 0
+
+    def maybe_save(self, step: int, state: Any) -> None:
+        if step > 0 and step % self.save_steps == 0:
+            self._mgr.save(step, args=ocp.args.StandardSave(
+                {"params": state.params, "opt_state": state.opt_state,
+                 "step": state.step}))
+
+    def restore_into(self, state: Any) -> Any:
+        latest = self._mgr.latest_step()
+        if latest is None:
+            return state
+        LOGGER.info(f"auto-resuming from restore checkpoint step {latest}")
+        tpl = {"params": state.params, "opt_state": state.opt_state,
+               "step": state.step}
+        loaded = self._mgr.restore(latest,
+                                   args=ocp.args.StandardRestore(tpl))
+        return state.replace(params=loaded["params"],
+                             opt_state=loaded["opt_state"],
+                             step=loaded["step"])
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_training_meta(output_dir: str, cfg) -> None:
+    """args.json + source-tree zip (load_save.py:16-34)."""
+    meta_dir = ensure_dir(os.path.join(output_dir, "log"))
+    cfg_dict = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+    save_json(cfg_dict, os.path.join(meta_dir, "args.json"),
+              save_pretty=True)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        zip_source_tree(os.path.join(repo_root, "sasvqa_tpu"),
+                        os.path.join(meta_dir, "code.zip"))
+    except Exception as e:  # non-fatal metadata capture
+        LOGGER.warning(f"source zip failed: {e}")

@@ -162,6 +162,9 @@ def build_shared_parser(desc: str = "sasvqa_tpu shared config") -> argparse.Argu
     p.add_argument("--n_workers", type=int, default=4)
     p.add_argument("--pin_mem", type=int, choices=[0, 1], default=1)
     # TPU / mesh
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX backend (e.g. 'cpu' for the virtual-"
+                        "device test harness); default: highest priority")
     p.add_argument("--mesh_shape", type=int, nargs="+", default=None,
                    help="device mesh shape, e.g. --mesh_shape 8 for dp=8; "
                         "default: all devices on one data axis")

@@ -1,0 +1,106 @@
+"""Host input pipeline: batching, shuffling, device prefetch.
+
+Replaces the reference's DataLoader workers + CUDA-stream PrefetchLoader
+(src/datasets/dataloader.py:85-160) with a deterministic seeded sampler
+and a double-buffered ``device_put`` prefetcher (SURVEY.md §7.4 item 5:
+this is where QA-pairs/sec is won on TPU — the device should never wait
+on the host).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from sasvqa_tpu.parallel.mesh import shard_batch
+
+
+def batch_indices(n: int, batch_size: int, shuffle: bool,
+                  rng: Optional[np.random.Generator],
+                  drop_last: bool = False) -> List[np.ndarray]:
+    order = np.arange(n)
+    if shuffle:
+        assert rng is not None
+        order = rng.permutation(n)
+    batches = [order[i:i + batch_size] for i in range(0, n, batch_size)]
+    if drop_last and batches and len(batches[-1]) < batch_size:
+        batches.pop()
+    return batches
+
+
+def epoch_batches(dataset, collator, batch_size: int, shuffle: bool,
+                  rng: Optional[np.random.Generator] = None,
+                  drop_last: bool = False) -> Iterator[Dict[str, Any]]:
+    """One epoch of collated host batches."""
+    for idx in batch_indices(len(dataset), batch_size, shuffle, rng,
+                             drop_last):
+        items = [dataset.get_group(int(i)) for i in idx]
+        yield collator(items, rng=rng)
+
+
+def infinite_batches(dataset, collator, batch_size: int,
+                     rng: np.random.Generator,
+                     drop_last: bool = True) -> Iterator[Dict[str, Any]]:
+    """InfiniteIterator equivalent (dataloader.py:147-160): reshuffles
+    each epoch, never raises StopIteration."""
+    while True:
+        yield from epoch_batches(dataset, collator, batch_size,
+                                 shuffle=True, rng=rng, drop_last=drop_last)
+
+
+_SENTINEL = object()
+
+
+class DevicePrefetcher:
+    """Background thread that stages the next host batch onto devices
+    while the current step computes (the TPU analogue of the reference's
+    CUDA-stream PrefetchLoader, dataloader.py:85-144).
+
+    ``host_keys`` stay on host (question_ids etc.); array leaves are
+    device_put with the mesh's data-axis sharding when a mesh is given.
+    """
+
+    HOST_KEYS = ("question_ids", "n_examples_list")
+
+    def __init__(self, it: Iterator[Dict[str, Any]], mesh=None, depth: int = 2):
+        self._mesh = mesh
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._src = it
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _stage(self, batch: Dict[str, Any]):
+        host = {k: batch.pop(k) for k in list(batch.keys())
+                if k in self.HOST_KEYS}
+        arrays = {k: v for k, v in batch.items() if v is not None}
+        if self._mesh is not None:
+            arrays = shard_batch(arrays, self._mesh)
+        else:
+            import jax
+            arrays = {k: jax.device_put(v) for k, v in arrays.items()}
+        arrays.update({k: None for k, v in batch.items() if v is None})
+        return arrays, host
+
+    def _work(self):
+        try:
+            for batch in self._src:
+                self._q.put(self._stage(batch))
+        except BaseException as e:  # surface in consumer thread
+            self._err = e
+        finally:
+            self._q.put(_SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is _SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

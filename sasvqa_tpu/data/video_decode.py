@@ -1,0 +1,159 @@
+"""Video decoding via the native C++ shim (native/videodecode.cpp).
+
+ctypes binding over libvideodecode.so (libavformat/avcodec/swscale).
+Replaces the reference's cv2 frame loop (prefetch_loader.py:57-67) and
+PyAV PTS-window decode (decoder.py:105-200).  Falls back to cv2 when the
+shared library has not been built (``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native", "libvideodecode.so"),
+    "libvideodecode.so",
+]
+
+
+def _load_lib():
+    for p in _LIB_PATHS:
+        try:
+            lib = ctypes.CDLL(p)
+        except OSError:
+            continue
+        lib.vd_open.restype = ctypes.c_void_p
+        lib.vd_open.argtypes = [ctypes.c_char_p]
+        lib.vd_close.argtypes = [ctypes.c_void_p]
+        lib.vd_info.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.vd_read_frames.restype = ctypes.c_int
+        lib.vd_read_frames.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        lib.vd_read_window.restype = ctypes.c_int
+        lib.vd_read_window.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+        return lib
+    return None
+
+
+_LIB = _load_lib()
+
+
+def native_available() -> bool:
+    return _LIB is not None
+
+
+class VideoDecoder:
+    """Decode every ``interval``-th frame of a video to RGB uint8."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._h = None
+        if _LIB is not None:
+            self._h = _LIB.vd_open(path.encode())
+            if not self._h:
+                raise IOError(f"native decoder failed to open {path}")
+
+    def info(self) -> Tuple[int, int, float, int]:
+        """-> (width, height, fps, container nb_frames or 0)."""
+        if self._h:
+            w = ctypes.c_int()
+            h = ctypes.c_int()
+            fps = ctypes.c_double()
+            n = ctypes.c_int64()
+            _LIB.vd_info(self._h, ctypes.byref(w), ctypes.byref(h),
+                         ctypes.byref(fps), ctypes.byref(n))
+            return w.value, h.value, fps.value, int(n.value)
+        import cv2
+        cap = cv2.VideoCapture(self.path)
+        out = (int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+               int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+               float(cap.get(cv2.CAP_PROP_FPS)),
+               int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
+        cap.release()
+        return out
+
+    def read_frames(self, interval: int = 1, max_frames: int = 4096,
+                    out_size: Optional[Tuple[int, int]] = None,
+                    ) -> np.ndarray:
+        """-> (N, H, W, 3) uint8 RGB frames."""
+        if out_size is None:
+            w, h, _, _ = self.info()
+        else:
+            w, h = out_size
+        if self._h:
+            buf = np.empty((max_frames, h, w, 3), dtype=np.uint8)
+            n = _LIB.vd_read_frames(
+                self._h, interval, max_frames, w, h,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            if n < 0:
+                raise IOError(f"decode error {n} on {self.path}")
+            return buf[:n].copy()
+        return self._cv2_read(interval, max_frames, (w, h))
+
+    def read_window(self, start_sec: float, end_sec: float,
+                    interval: int = 1, max_frames: int = 4096,
+                    out_size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+        """PTS-window selective decode -> (N, H, W, 3) uint8 RGB."""
+        if out_size is None:
+            w, h, _, _ = self.info()
+        else:
+            w, h = out_size
+        if self._h:
+            buf = np.empty((max_frames, h, w, 3), dtype=np.uint8)
+            n = _LIB.vd_read_window(
+                self._h, float(start_sec), float(end_sec), interval,
+                max_frames, w, h,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            if n < 0:
+                raise IOError(f"window decode error {n} on {self.path}")
+            return buf[:n].copy()
+        raise NotImplementedError("window decode requires the native lib")
+
+    def _cv2_read(self, interval, max_frames, size):
+        import cv2
+        cap = cv2.VideoCapture(self.path)
+        frames = []
+        i = 0
+        while len(frames) < max_frames:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if i % interval == 0:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if (frame.shape[1], frame.shape[0]) != size:
+                    frame = cv2.resize(frame, size)
+                frames.append(frame)
+            i += 1
+        cap.release()
+        if not frames:
+            return np.zeros((0, size[1], size[0], 3), dtype=np.uint8)
+        return np.stack(frames)
+
+    def close(self):
+        if self._h:
+            _LIB.vd_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def decode_video(path: str, interval: int = 1, max_frames: int = 4096,
+                 out_size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    with VideoDecoder(path) as dec:
+        return dec.read_frames(interval, max_frames, out_size)

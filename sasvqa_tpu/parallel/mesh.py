@@ -1,0 +1,88 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's (commented-out) Horovod data
+parallelism (src/utils/distributed.py, SURVEY.md §2.2): one jitted
+program over a ``jax.sharding.Mesh``, batch sharded on the ``data``
+axis, parameters replicated (ViT-B/L fit per chip), XLA inserting the
+gradient psum over ICI.  A second optional ``fsdp`` axis shards params
+for larger models.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              shape: Optional[Sequence[int]] = None,
+              axes: Optional[Sequence[str]] = None,
+              platform: Optional[str] = None) -> Mesh:
+    """Build a mesh; default = all devices on one data axis.
+
+    ``platform`` selects a backend explicitly ("cpu" for the 8-virtual-
+    device test harness); when ``shape`` is given, devices are sliced to
+    prod(shape)."""
+    if devices is None:
+        devices = jax.devices(platform) if platform else jax.devices()
+    axes = tuple(axes) if axes else (DATA_AXIS,)
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+    n = int(np.prod(shape))
+    arr = np.array(devices[:n]).reshape(tuple(shape))
+    return Mesh(arr, axes)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """device_put a host batch pytree with the batch axis sharded on
+    ``data``.  Non-array leaves pass through."""
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def pad_batch_to_multiple(batch: Any, multiple: int) -> Any:
+    """Pad the leading axis of every array leaf to a multiple of the data
+    axis size (uneven final batches would otherwise fail to shard).
+    Padded labels are set to -100 so they drop out of loss/metrics."""
+    import numpy as np
+
+    def pad(x, value=0):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        b = x.shape[0]
+        rem = (-b) % multiple
+        if rem == 0:
+            return x
+        widths = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, widths, constant_values=value)
+
+    out = {}
+    for k, v in batch.items():
+        if k == "labels" and v is not None:
+            out[k] = pad(v, -100)
+        elif isinstance(v, np.ndarray):
+            out[k] = pad(v)
+        else:
+            out[k] = v
+    return out

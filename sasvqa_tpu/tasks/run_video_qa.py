@@ -1,0 +1,308 @@
+"""Video-QA training/eval entry point (MSVD-QA / MSRVTT-QA / TGIF-QA).
+
+TPU-native rebuild of src/tasks/run_video_qa.py:
+
+    python -m sasvqa_tpu.tasks.run_video_qa --task msvd_qa \
+        --config configs/msvd_qa_tiny.json
+
+Same config files drive it (train_datasets/val_datasets/model blocks,
+samp_policy, nframe, batch/accum, decay, ...).  Step math, validation
+cadence, answer-vocab construction and metrics all mirror the reference
+(:390-531); the compute path is jit over a device mesh with bf16
+activations.
+
+Deliberate fixes vs reference quirks (SURVEY.md §7.4 item 7):
+- ``flag_prtr`` NameError for non-GIT models (:396-406) -> family
+  dispatch handles all three;
+- classification validate's ``pred_labels_str`` NameError (:332) ->
+  answer_str only emitted on the generative path;
+- scheduler stepping is driven by global_step milestones rather than
+  validation blocks (:524-525) — documented in train/schedules.py.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sasvqa_tpu.core.checkpoint import (ModelSaver, TrainingRestorer,
+                                        save_training_meta)
+from sasvqa_tpu.core.config import get_video_qa_args
+from sasvqa_tpu.core.logging import (LOGGER, TB_LOGGER, RunningMeter,
+                                     add_log_to_file)
+from sasvqa_tpu.core.rng import set_random_seed
+from sasvqa_tpu.data.annotations import (build_common_answer_dict,
+                                         evaluate_qa, group_datalist,
+                                         load_datalist)
+from sasvqa_tpu.data.dataset import (ClassifierCollator, GITCollator,
+                                     VideoQADataset, make_collator)
+from sasvqa_tpu.data.frame_store import FrameStoreReader, load_vidmapping
+from sasvqa_tpu.data.pipeline import (DevicePrefetcher, epoch_batches,
+                                      infinite_batches)
+from sasvqa_tpu.data.tokenization import (CLIPBPETokenizer,
+                                          WordPieceTokenizer,
+                                          make_test_wordpiece)
+from sasvqa_tpu.models.presets import build_model, load_pretrained_params
+from sasvqa_tpu.parallel.mesh import make_mesh, pad_batch_to_multiple
+from sasvqa_tpu.train import steps as train_steps
+from sasvqa_tpu.utils.basic import get_rounded_percentage
+
+
+def build_tokenizer(cfg, family: str):
+    tok_dir = cfg.get("tokenizer_dir")
+    if tok_dir:
+        vocab_txt = os.path.join(tok_dir, "vocab.txt")
+        vocab_json = os.path.join(tok_dir, "vocab.json")
+        merges = os.path.join(tok_dir, "merges.txt")
+        if family == "clip" and os.path.exists(vocab_json):
+            return CLIPBPETokenizer.from_files(vocab_json, merges)
+        if os.path.exists(vocab_txt):
+            return WordPieceTokenizer.from_vocab_file(vocab_txt)
+        raise FileNotFoundError(f"no vocab files under {tok_dir}")
+    LOGGER.warning("no tokenizer_dir configured; using the built-in test "
+                   "WordPiece vocab (synthetic runs only)")
+    return make_test_wordpiece()
+
+
+def setup_datasets(cfg, ans2label):
+    def make(split_cfg_txt, img, is_train, return_label=True):
+        datalist = load_datalist(cfg.task, split_cfg_txt,
+                                 data_ratio=cfg.data_ratio if is_train else 1.0)
+        grouped = group_datalist(
+            datalist,
+            max_n_example_per_group=cfg.max_n_example_per_group,
+            is_train=is_train)
+        return VideoQADataset(
+            cfg.task, grouped, FrameStoreReader(img),
+            load_vidmapping(cfg.vid_mapping), ans2label,
+            return_label=return_label, is_train=is_train)
+
+    train = make(cfg.train_datasets[0].txt, cfg.train_datasets[0].img, True)
+    # reference quirk kept: val reuses the train h5 (run_video_qa.py:220)
+    val = make(cfg.val_datasets[0].txt, cfg.train_datasets[0].img, False)
+    test = make(cfg.inference_txt_db, cfg.inference_img_db, False)
+    return train, val, test
+
+
+def decode_answers(tokenizer, generated: np.ndarray,
+                   ans2label) -> (List[int], List[str]):
+    """Generated ids -> last-word answer -> label
+    (reference run_video_qa.py:325-326)."""
+    preds, strs = [], []
+    for row in generated:
+        text = tokenizer.decode(row, skip_special_tokens=True).strip()
+        strs.append(text)
+        word = text.split()[-1] if text.split() else ""
+        preds.append(ans2label.get(word, -1))
+    return preds, strs
+
+
+def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
+             eval_step, mesh, eval_score: bool = True,
+             tag: str = "valid") -> Dict[str, Any]:
+    st = time.time()
+    qa_results = []
+    n_ex = 0
+    n_dev = mesh.devices.size if mesh is not None else 1
+    for b_idx, batch in enumerate(epoch_batches(
+            dataset, collator, cfg.val_batch_size, shuffle=False)):
+        question_ids = batch.pop("question_ids")
+        batch.pop("n_examples_list", None)
+        n_real = len(question_ids)
+        batch = pad_batch_to_multiple(batch, n_dev)
+        batch = {k: v for k, v in batch.items() if v is not None}
+        if family == "git":
+            generated = np.asarray(eval_step(state, batch))
+            preds, strs = decode_answers(tokenizer, generated[:n_real],
+                                         ans2label)
+            for qid, p, s in zip(question_ids, preds, strs):
+                qa_results.append(dict(question_id=qid, answer=p,
+                                       answer_str=s,
+                                       data=dataset.qid2data[qid]))
+        else:
+            preds, _ = eval_step(state, batch)
+            preds = np.asarray(preds)[:n_real].tolist()
+            for qid, p in zip(question_ids, preds):
+                qa_results.append(dict(question_id=qid, answer=int(p),
+                                       data=dataset.qid2data[qid]))
+        n_ex += n_real
+        if cfg.debug and b_idx >= 5:
+            break
+
+    val_log: Dict[str, Any] = {}
+    gathered: Dict[str, Any] = {}
+    if eval_score and qa_results:
+        scores = evaluate_qa(qa_results, dataset.qid2data, ans2label,
+                             cfg.task)
+        if "ratios" in scores:
+            gathered["ratios"] = {
+                k: [get_rounded_percentage(v[1] / max(n_ex, 1)), v[1]]
+                for k, v in scores["ratios"].items()}
+        for k, v in scores.items():
+            if k == "ratios" or "ratio" in k:
+                continue
+            gathered[k] = get_rounded_percentage(v)
+            val_log[f"{tag}/{k}"] = gathered[k]
+    TB_LOGGER.log_scalar_dict(val_log)
+    LOGGER.info(f"[{tag}] {n_ex} examples in {time.time() - st:.1f}s: "
+                f"{gathered}")
+    return {"qa_results": qa_results, "scores": gathered}
+
+
+def start_training(cfg) -> Dict[str, Any]:
+    key, host_rng = set_random_seed(cfg.seed)
+    family = None
+
+    # answer vocab from the train split, k=1000 (run_video_qa.py:205-208)
+    anno_files = (cfg.train_datasets[0].txt,)
+    ans2label = build_common_answer_dict(anno_files, 1000)
+
+    from sasvqa_tpu.models.video_qa import model_family
+    family = model_family(cfg.model.pretrained_model)
+    tokenizer = build_tokenizer(cfg, family)
+
+    train_ds, val_ds, test_ds = setup_datasets(cfg, ans2label)
+
+    dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32
+    family, model = build_model(cfg, dtype=dtype)
+
+    mesh = make_mesh(shape=cfg.get("mesh_shape"), axes=cfg.get("mesh_axes"),
+                     platform=cfg.get("platform"))
+    n_dev = mesh.devices.size
+    LOGGER.info(f"mesh: {mesh}")
+
+    # step math (run_video_qa.py:424-435)
+    total_n_examples = len(train_ds) * cfg.max_n_example_per_group
+    total_train_batch_size = int(n_dev * cfg.train_batch_size
+                                 * cfg.gradient_accumulation_steps
+                                 * cfg.max_n_example_per_group)
+    cfg.num_train_steps = int(math.ceil(
+        1.0 * cfg.num_train_epochs * total_n_examples
+        / total_train_batch_size))
+    cfg.valid_steps = int(math.ceil(
+        1.0 * cfg.num_train_steps / cfg.num_valid
+        / cfg.min_valid_steps)) * cfg.min_valid_steps
+
+    # init + optional local pretrained overlay
+    collator = make_collator(family, tokenizer, cfg)
+    probe = collator([train_ds.get_group(0)], rng=host_rng)
+    init_args = (jnp.asarray(probe["text_input_ids"]),
+                 jnp.asarray(probe["text_attention_mask"]),
+                 jnp.asarray(probe["visual_inputs"]))
+    params = jax.jit(model.init)(key, *init_args)
+    weights_path = cfg.model.get("pretrained_weights")
+    if weights_path:
+        params = load_pretrained_params(family, model, params, weights_path)
+
+    state = train_steps.create_train_state(
+        model, params, cfg, total_steps=cfg.num_train_steps)
+
+    output_dir = cfg.get("output_dir") or "output/run"
+    os.makedirs(output_dir, exist_ok=True)
+    save_training_meta(output_dir, cfg)
+    TB_LOGGER.create(os.path.join(output_dir, "log"))
+    add_log_to_file(os.path.join(output_dir, "log", "log.txt"))
+    saver = ModelSaver(os.path.join(output_dir, "ckpt"))
+    restorer = TrainingRestorer(
+        output_dir,
+        save_steps=max(int(cfg.save_steps_ratio * cfg.num_train_steps
+                           * cfg.gradient_accumulation_steps), 1))
+    state = restorer.restore_into(state)
+
+    if family == "git":
+        train_step = train_steps.make_git_train_step(mesh)
+        eval_step = train_steps.make_git_eval_step(
+            model, max_text_len=cfg.get("gen_max_text_len", 50),
+            max_new_tokens=cfg.get("gen_max_new_tokens", 32), mesh=mesh)
+        eval_collator = GITCollator(
+            tokenizer, max_txt_len=cfg.max_txt_len,
+            max_seq_len=cfg.get("max_seq_len", cfg.max_txt_len + 12),
+            task_type=cfg.task, nframe=cfg.nframe,
+            samp_policy=cfg.samp_policy, add_ans=False)
+    else:
+        train_step = train_steps.make_classifier_train_step(mesh)
+        eval_step = train_steps.make_classifier_eval_step(mesh)
+        eval_collator = collator
+
+    LOGGER.info(f"***** training: {cfg.num_train_steps} steps, validate "
+                f"every {cfg.valid_steps}, {n_dev} devices *****")
+
+    def run_validation(tag_prefix=""):
+        res_v = validate(state, val_ds, eval_collator, cfg, family,
+                         tokenizer, ans2label, eval_step, mesh,
+                         tag=f"{tag_prefix}valid")
+        res_t = validate(state, test_ds, eval_collator, cfg, family,
+                         tokenizer, ans2label, eval_step, mesh,
+                         tag=f"{tag_prefix}test")
+        return res_v, res_t
+
+    if cfg.get("zero_eval"):
+        run_validation("zero_")
+
+    running_loss = RunningMeter("train_loss")
+    dropout_key = jax.random.fold_in(key, 1)
+    global_step = int(state.step) // cfg.gradient_accumulation_steps
+    total_correct = total_preds = 0
+    last_scores: Dict[str, Any] = {}
+    micro = 0
+    debug_cap = 3
+
+    prefetch = DevicePrefetcher(
+        infinite_batches(train_ds, collator,
+                         cfg.train_batch_size * n_dev, host_rng),
+        mesh=mesh)
+    t_start = time.time()
+    for batch, host_meta in prefetch:
+        state, metrics = train_step(state, batch, dropout_key)
+        micro += 1
+        if micro % cfg.gradient_accumulation_steps == 0:
+            global_step += 1
+            loss = float(metrics["loss"])
+            running_loss(loss)
+            TB_LOGGER.global_step = global_step
+            TB_LOGGER.add_scalar("train/loss", loss)
+            if "acc_correct" in metrics:
+                total_correct += int(metrics["acc_correct"])
+                total_preds += int(metrics["acc_total"])
+            if global_step % 10 == 0:
+                acc = total_correct / (total_preds + 1e-6)
+                LOGGER.info(f"step {global_step}/{cfg.num_train_steps} "
+                            f"{running_loss} acc {100*acc:.2f} "
+                            f"({(time.time()-t_start):.0f}s)")
+            restorer.maybe_save(int(state.step), state)
+            if global_step % cfg.valid_steps == 0:
+                total_correct = total_preds = 0
+                res_v, _ = run_validation()
+                last_scores = res_v["scores"]
+                saver.save(global_step, jax.device_get(state.params))
+        if global_step >= cfg.num_train_steps:
+            break
+        if cfg.debug and global_step >= debug_cap:
+            break
+
+    res_v, res_t = run_validation("final_")
+    saver.wait()
+    restorer.wait()
+    return {"val": res_v["scores"], "test": res_t["scores"],
+            "train_loss": running_loss.val, "global_step": global_step}
+
+
+def main(argv: Optional[List[str]] = None):
+    cfg = get_video_qa_args(argv)
+    if cfg.do_inference:
+        # reference --do_inference is a no-op (run_video_qa.py:536-537);
+        # here it runs a standalone validation pass instead.
+        LOGGER.info("inference-only mode")
+        cfg.num_train_epochs = 0
+        cfg.zero_eval = True
+    return start_training(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Data layer: annotations, grouping, frame store, collators, tokenizers."""
+
+import numpy as np
+import pytest
+
+from sasvqa_tpu.data.annotations import (build_common_answer_dict,
+                                         evaluate_qa, group_datalist,
+                                         load_datalist, mk_input_group)
+from sasvqa_tpu.data.dataset import (ClassifierCollator, GITCollator,
+                                     VideoQADataset)
+from sasvqa_tpu.data.frame_store import FrameStoreReader, load_vidmapping
+from sasvqa_tpu.data.synthetic import make_synthetic_dataset
+from sasvqa_tpu.data.tokenization import make_test_wordpiece
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    return make_synthetic_dataset(str(root), num_videos=4, stored_frames=8,
+                                  img_hw=16, questions_per_video=2)
+
+
+def test_load_msvd_datalist(synth):
+    dl = load_datalist("msvd_qa", synth["train"])
+    assert len(dl) == 8
+    d = dl[0]
+    assert set(d) >= {"question", "answer", "video_id", "answer_type",
+                      "question_id", "sampled_inds"}
+    assert not d["video_id"].endswith(".avi")  # suffix stripped
+
+
+def test_answer_dict_topk(synth):
+    ans2label = build_common_answer_dict([synth["train"]], k=3)
+    assert len(ans2label) == 3
+    assert sorted(ans2label.values()) == [0, 1, 2]
+
+
+def test_group_and_chunk(synth):
+    dl = load_datalist("msvd_qa", synth["train"])
+    groups = group_datalist(dl, max_n_example_per_group=2, is_train=True)
+    for vid, exs in groups:
+        assert 1 <= len(exs) <= 2
+        assert all(e["video_id"] == vid for e in exs)
+    # eval: force 1 per group
+    groups_eval = group_datalist(dl, max_n_example_per_group=2,
+                                 is_train=False)
+    assert all(len(exs) == 1 for _, exs in groups_eval)
+
+
+def test_frame_store_roundtrip(synth):
+    reader = FrameStoreReader(synth["h5"])
+    assert reader.shape == (4, 8, 3 * 16 * 16)
+    frames = reader.read_nhwc(0)
+    assert frames.shape == (8, 16, 16, 3)
+    chw = reader.read_chw(0)
+    np.testing.assert_allclose(frames, chw.transpose(0, 2, 3, 1))
+
+
+def _make_dataset(synth, is_train=True):
+    dl = load_datalist("msvd_qa", synth["train"])
+    groups = group_datalist(dl, 1, is_train=is_train)
+    ans2label = build_common_answer_dict([synth["train"]], 1000)
+    return VideoQADataset("msvd_qa", groups, FrameStoreReader(synth["h5"]),
+                          load_vidmapping(synth["vidmapping"]), ans2label,
+                          is_train=is_train)
+
+
+def test_classifier_collator_shapes(synth):
+    ds = _make_dataset(synth)
+    tok = make_test_wordpiece()
+    col = ClassifierCollator(tok, max_txt_len=12, nframe=2,
+                             samp_policy="random")
+    rng = np.random.default_rng(0)
+    items = [ds.get_group(i) for i in range(3)]
+    batch = col(items, rng=rng)
+    assert batch["visual_inputs"].shape == (3, 2, 16, 16, 3)
+    assert batch["text_input_ids"].shape == (3, 12)
+    assert batch["labels"].shape == (3,)
+    assert len(batch["question_ids"]) == 3
+
+
+def test_git_collator_train_labels(synth):
+    ds = _make_dataset(synth)
+    tok = make_test_wordpiece()
+    col = GITCollator(tok, max_txt_len=12, max_seq_len=20, nframe=2,
+                      samp_policy="question-caption", add_ans=True)
+    rng = np.random.default_rng(0)
+    batch = col([ds.get_group(0)], rng=rng)
+    ids, labels = batch["text_input_ids"][0], batch["labels"][0]
+    # question prefix masked to -100, answer+SEP supervised
+    assert labels[0] == -100  # [CLS]
+    sep_pos = np.where(ids == tok.sep_token_id)[0]
+    assert len(sep_pos) == 1
+    assert labels[sep_pos[0]] == tok.sep_token_id
+    # reference quirk: padding positions stay supervised as pad id
+    assert labels[-1] == tok.pad_token_id
+
+
+def test_git_collator_eval_prompts(synth):
+    ds = _make_dataset(synth, is_train=False)
+    tok = make_test_wordpiece()
+    col = GITCollator(tok, max_txt_len=12, nframe=2, samp_policy="uniform",
+                      add_ans=False)
+    batch = col([ds.get_group(0)], rng=np.random.default_rng(0))
+    ids = batch["text_input_ids"][0]
+    plen = batch["prompt_len"][0]
+    assert ids[0] == tok.cls_token_id
+    assert (ids[plen:] == tok.pad_token_id).all()
+    assert tok.sep_token_id not in ids[:plen]  # no trailing SEP on prompt
+
+
+def test_wordpiece_roundtrip():
+    tok = make_test_wordpiece()
+    enc = tok(["what is the dog doing?"], max_length=12)
+    text = tok.decode(enc["input_ids"][0])
+    assert "what is the dog doing" in text
+    # pair encoding for MIF scoring
+    enc2 = tok(["what color"], max_length=16,
+               text_pairs=["a red ball"])
+    row = enc2["input_ids"][0]
+    assert (row == tok.sep_token_id).sum() == 2
+
+
+def test_evaluate_qa_per_type():
+    qid2data = {
+        0: {"answer": "red", "answer_type": "what"},
+        1: {"answer": "dog", "answer_type": "who"},
+        2: {"answer": "blue", "answer_type": "what"},
+    }
+    ans2label = {"red": 0, "dog": 1, "blue": 2}
+    results = [
+        {"question_id": 0, "answer": 0},   # correct
+        {"question_id": 1, "answer": 0},   # wrong
+        {"question_id": 2, "answer": 2},   # correct
+    ]
+    m = evaluate_qa(results, qid2data, ans2label, "msvd_qa")
+    assert abs(m["overall_acc"] - 2 / 3) < 1e-9
+    assert m["what_acc"] == 1.0
+    assert m["who_acc"] == 0.0
+    assert "ratios" in m
+
+
+def test_evaluate_qa_ignores_oov_gt():
+    qid2data = {0: {"answer": "zebra", "answer_type": "what"},
+                1: {"answer": "red", "answer_type": "what"}}
+    ans2label = {"red": 0}
+    results = [{"question_id": 0, "answer": -1},
+               {"question_id": 1, "answer": 0}]
+    m = evaluate_qa(results, qid2data, ans2label, "msvd_qa")
+    # denominator counts only in-vocab gts (reference :141-144)
+    assert m["overall_acc"] == 1.0

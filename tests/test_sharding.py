@@ -1,0 +1,94 @@
+"""Mesh / data-parallel sharding on the 8-virtual-CPU-device harness."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sasvqa_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                      pad_batch_to_multiple, shard_batch)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(devices=jax.devices("cpu"))
+
+
+def test_mesh_shape(mesh):
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_shard_batch_places_on_data_axis(mesh):
+    batch = {"x": np.arange(16 * 3, dtype=np.float32).reshape(16, 3),
+             "qids": [1, 2, 3]}
+    out = shard_batch(batch, mesh)
+    sh = out["x"].sharding
+    assert sh.spec == P("data")
+    assert out["qids"] == [1, 2, 3]
+
+
+def test_psum_equivalence_data_parallel(mesh):
+    """Grad of a sharded-batch loss == grad of the unsharded loss."""
+    w = jnp.ones((4,)) * 0.5
+    x = np.random.default_rng(0).normal(size=(16, 4)).astype(np.float32)
+
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    g_ref = jax.grad(loss)(w, jnp.asarray(x))
+
+    xs = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+    ws = jax.device_put(w, NamedSharding(mesh, P()))
+    g_sharded = jax.jit(jax.grad(loss))(ws, xs)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref),
+                               rtol=1e-6)
+
+
+def test_pad_batch_to_multiple():
+    batch = {"x": np.ones((5, 2)), "labels": np.array([1, 2, 3, 4, 5]),
+             "question_ids": [1] * 5}
+    out = pad_batch_to_multiple(batch, 8)
+    assert out["x"].shape == (8, 2)
+    assert out["labels"].shape == (8,)
+    assert (out["labels"][5:] == -100).all()
+    assert out["question_ids"] == [1] * 5
+
+
+def test_train_step_on_mesh(mesh):
+    """Tiny classifier train step sharded over the mesh runs and the
+    params stay replicated."""
+    from sasvqa_tpu.models.clip import CLIPTextConfig, CLIPVisionConfig
+    from sasvqa_tpu.models.video_qa import CLIPVideoQA, ClassifierHeadConfig
+    from sasvqa_tpu.core.config import ConfigDict
+    from sasvqa_tpu.train import steps as ts
+
+    tc = CLIPTextConfig(vocab_size=64, hidden_size=16, intermediate_size=32,
+                        num_layers=1, num_heads=2,
+                        max_position_embeddings=8, eos_token_id=63)
+    vc = CLIPVisionConfig(hidden_size=16, intermediate_size=32, num_layers=1,
+                          num_heads=2, image_size=16, patch_size=8,
+                          projection_dim=16)
+    model = CLIPVideoQA(tc, vc, ClassifierHeadConfig(num_labels=5))
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 63, size=(8, 6)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    px = jnp.asarray(rng.normal(size=(8, 2, 16, 16, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 5, size=(8,)), jnp.int32)
+
+    params = jax.jit(model.init)(jax.random.key(0), ids, mask, px)
+    cfg = ConfigDict(dict(optim="adamw", learning_rate=1e-3,
+                          num_train_epochs=1, gradient_accumulation_steps=1,
+                          grad_norm=1.0))
+    state = ts.create_train_state(model, params, cfg, total_steps=10)
+
+    step = ts.make_classifier_train_step(mesh)
+    batch = shard_batch({"text_input_ids": ids,
+                         "text_attention_mask": mask,
+                         "visual_inputs": px, "labels": labels}, mesh)
+    state2, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1

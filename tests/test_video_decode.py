@@ -1,0 +1,66 @@
+"""Native C++ decode shim vs cv2 on generated videos."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from sasvqa_tpu.data.video_decode import (VideoDecoder, decode_video,
+                                          native_available)
+
+
+@pytest.fixture(scope="module")
+def video_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "test.avi")
+    w, h, n = 64, 48, 30
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                             (w, h))
+    for t in range(n):
+        frame = np.zeros((h, w, 3), np.uint8)
+        frame[:, :, 0] = int(255 * t / n)   # blue ramp (BGR)
+        frame[:, :, 2] = 255 - int(255 * t / n)
+        writer.write(frame)
+    writer.release()
+    return path
+
+
+def test_native_lib_built():
+    assert native_available(), "run `make -C native` first"
+
+
+def test_info(video_path):
+    with VideoDecoder(video_path) as dec:
+        w, h, fps, n = dec.info()
+    assert (w, h) == (64, 48)
+    assert abs(fps - 10.0) < 0.1
+
+
+def test_decode_all_frames(video_path):
+    frames = decode_video(video_path)
+    assert frames.shape == (30, 48, 64, 3)
+    # red ramps down over time (RGB order out of the decoder)
+    assert frames[0, 0, 0, 0] > frames[-1, 0, 0, 0]
+    assert frames[-1, 0, 0, 2] > frames[0, 0, 0, 2]
+
+
+def test_decode_interval_and_resize(video_path):
+    frames = decode_video(video_path, interval=3, out_size=(32, 32))
+    assert frames.shape == (10, 32, 32, 3)
+
+
+def test_decode_matches_cv2(video_path):
+    native = decode_video(video_path, interval=2)
+    with VideoDecoder.__new__(VideoDecoder) as dec:  # force cv2 fallback
+        dec.path = video_path
+        dec._h = None
+        fallback = dec._cv2_read(2, 4096, (64, 48))
+    assert native.shape == fallback.shape
+    # same codec, same scaler path modulo colorspace rounding
+    assert np.mean(np.abs(native.astype(int) - fallback.astype(int))) < 3
+
+
+def test_window_decode(video_path):
+    with VideoDecoder(video_path) as dec:
+        frames = dec.read_window(1.0, 2.0)
+    # 10 fps video, 1 second window -> ~10 frames
+    assert 8 <= len(frames) <= 12
