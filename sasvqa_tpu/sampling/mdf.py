@@ -42,13 +42,18 @@ import numpy as np
 NEG = -3.0e38
 
 
-def local_average_similarity(feats: jax.Array, window: int) -> jax.Array:
+def local_average_similarity(feats: jax.Array, window: int,
+                             n_valid=None) -> jax.Array:
     """Banded local-average cosine similarity, (N, D) -> (N,).
 
     feats must be L2-normalized.  Matches reference utils.py:58-61:
-    values for i in [W, N-W), zero at the boundaries.
+    values for i in [W, N_valid-W), zero at the boundaries.  When the
+    array is padded beyond ``n_valid``, pad rows must be zero vectors;
+    their band windows are never read by valid positions.
     """
     n = feats.shape[0]
+    if n_valid is None:
+        n_valid = n
     w = window
     cs = jnp.cumsum(feats, axis=0)
     cs = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], axis=0)  # (N+1, D)
@@ -58,7 +63,7 @@ def local_average_similarity(feats: jax.Array, window: int) -> jax.Array:
     band_sum = cs[hi] - cs[lo]                      # (N, D)
     dots = jnp.einsum("nd,nd->n", feats, band_sum)
     lcl = (dots - 1.0) / (2 * w - 1)
-    valid = (idx >= w) & (idx < n - w)
+    valid = (idx >= w) & (idx < n_valid - w)
     return jnp.where(valid, lcl, 0.0)
 
 
@@ -117,6 +122,29 @@ def mdf_select_batched(feats: jax.Array, k: int, window: int = -1,
                        interval: int = 20) -> Tuple[jax.Array, jax.Array]:
     """vmapped MDF over (B, N, D) feature stacks -> (B, k) indices."""
     return jax.vmap(lambda f: mdf_select(f, k, window, interval))(feats)
+
+
+def mdf_select_padded(feats: jax.Array, n_valid, k: int, window: int,
+                      interval: int = 20) -> Tuple[jax.Array, jax.Array]:
+    """MDF over a bucket-padded feature array (B, D) with ``n_valid``
+    real rows.  ``window`` must be pre-resolved by the caller (adaptive
+    W = N//interval is host-computable because N is known there) so one
+    compile serves a whole (bucket, W) class of videos.
+
+    Pad rows are masked to -inf so neither the suppression loop nor the
+    top-K fallback can pick them; results equal :func:`mdf_select` on
+    the unpadded array (tests/test_mdf.py::test_padded_matches_unpadded).
+    """
+    b = feats.shape[0]
+    norms = jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    f = feats / jnp.maximum(norms, 1e-12)
+    idx = jnp.arange(b)
+    in_range = (idx < n_valid)[:, None]
+    f = jnp.where(in_range, f, 0.0)
+    lcl = local_average_similarity(f, window, n_valid=n_valid)
+    lcl = jnp.where(idx < n_valid, lcl, NEG)
+    picks, exhausted = suppression_topk(lcl, k, window)
+    return jnp.minimum(picks, n_valid - 1), exhausted
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,295 @@
+"""Offline stage A: video decode -> frame sampling -> HDF5 frame store.
+
+Rebuild of src/preprocessing/extract_features.py (CLI parity):
+
+    python -m sasvqa_tpu.tools.extract_frames \
+        --dataset msvd_qa --dataset_root ./dataset \
+        --sampling_strategy repr --K 16 --W 8
+
+Pipeline redesign (reference: a 2-thread queue zoo feeding per-video
+GPU encodes, prefetch_loader.py:50-115 + extract_features.py:41-111):
+
+- decode through the native C++ shim (data/video_decode.py), one
+  background decode thread with a bounded queue for backpressure;
+- MDF ('repr') feature encoding batches frames through the jitted
+  vision tower with **length bucketing** (pad N to the next bucket so
+  XLA compiles once per bucket, not per video);
+- the MDF banded-similarity + suppression-top-K selection runs on
+  device (sampling/mdf.py), replacing the host heap;
+- 'uni' / 'git6' strategies are pure index math on the host.
+
+Outputs match the reference store format exactly: ``sampled_frames``
+(num_videos, K, 3*H*W) float32 CHW-flattened + ``vidmapping.json``
+(extract_features.py:25-30,77-97).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import queue
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sasvqa_tpu.core.logging import LOGGER
+from sasvqa_tpu.data.frame_store import FrameStoreWriter, save_vidmapping
+from sasvqa_tpu.data.video_decode import decode_video
+from sasvqa_tpu.utils.basic import load_json
+
+# CLIP-style normalization constants used by the HF processors the
+# reference runs frames through (AutoProcessor for git-base/clip).
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+def preprocess_frames(frames_u8: np.ndarray, img_size: int) -> np.ndarray:
+    """(N, H, W, 3) uint8 RGB -> (N, S, S, 3) float32 normalized.
+
+    Equivalent of the HF image processor resize+normalize the reference
+    applies in InputGen (prefetch_loader.py:57-67)."""
+    import cv2
+    n = frames_u8.shape[0]
+    out = np.empty((n, img_size, img_size, 3), np.float32)
+    for i in range(n):
+        f = frames_u8[i]
+        if f.shape[0] != img_size or f.shape[1] != img_size:
+            f = cv2.resize(f, (img_size, img_size),
+                           interpolation=cv2.INTER_CUBIC)
+        out[i] = f.astype(np.float32) / 255.0
+    return (out - CLIP_MEAN) / CLIP_STD
+
+
+def git6_indices(num_frames: int, clip_len: int, frame_sample_rate: int,
+                 rng: np.random.Generator) -> np.ndarray:
+    """GIT-VideoQA style sampling (extract_features.py:32-39): random
+    end index, linspace of clip_len frames."""
+    converted_len = int(clip_len * frame_sample_rate)
+    end_idx = int(rng.integers(converted_len, max(num_frames, converted_len + 1)))
+    start_idx = end_idx - converted_len
+    idx = np.linspace(start_idx, end_idx, num=clip_len)
+    return np.clip(idx, start_idx, end_idx - 1).astype(np.int64)
+
+
+def bucket_for(n: int) -> int:
+    for b in BUCKETS:
+        if n <= b:
+            return b
+    return BUCKETS[-1]
+
+
+class MDFEncoder:
+    """Jitted frozen vision encoder + on-device MDF selection, compiled
+    once per (bucket, K, W) shape."""
+
+    def __init__(self, k: int, window: int, interval: int = 20,
+                 weights_path: Optional[str] = None, img_size: int = 224):
+        import jax
+        import jax.numpy as jnp
+        from sasvqa_tpu.models.clip import CLIPVisionEncoder
+        from sasvqa_tpu.models.git import GIT_BASE
+        from sasvqa_tpu.sampling.mdf import mdf_select
+
+        self.k, self.window, self.interval = k, window, interval
+        vision_cfg = GIT_BASE.vision
+        if img_size != vision_cfg.image_size:
+            import dataclasses
+            vision_cfg = dataclasses.replace(vision_cfg, image_size=img_size)
+        tower = CLIPVisionEncoder(vision_cfg, dtype=jnp.bfloat16,
+                                  post_ln_all_tokens=True,
+                                  with_projection=False)
+        rng = jax.random.key(0)
+        dummy = jnp.zeros((1, img_size, img_size, 3))
+        params = jax.jit(tower.init)(rng, dummy)
+        if weights_path:
+            from sasvqa_tpu.models.convert import (convert_clip_vision,
+                                                   merge_pretrained)
+            from sasvqa_tpu.models.presets import _load_torch_state_dict
+            sd = _load_torch_state_dict(weights_path)
+            prefix = ("git.image_encoder.vision_model"
+                      if any(k.startswith("git.") for k in sd)
+                      else "vision_model")
+            conv = convert_clip_vision(sd, vision_cfg.num_layers,
+                                       prefix=prefix, projection_key="")
+            merged, report = merge_pretrained(params["params"], conv)
+            params = {"params": merged}
+            LOGGER.info(f"MDF encoder: loaded {len(report['loaded'])} "
+                        f"tensors from {weights_path}")
+        self._params = params
+        self._tower = tower
+        self._select = {}  # (bucket, W) -> jitted fn
+        self._jax = jax
+
+    def _fn_for(self, bucket: int, w: int):
+        key = (bucket, w)
+        if key not in self._select:
+            import jax.numpy as jnp
+            from sasvqa_tpu.sampling.mdf import mdf_select_padded
+            tower, params, k, interval = (self._tower, self._params,
+                                          self.k, self.interval)
+
+            @self._jax.jit
+            def fn(frames_padded, n_valid):
+                _, pooled, _ = tower.apply(params, frames_padded)
+                feats = pooled.astype(jnp.float32)
+                return mdf_select_padded(feats, n_valid, k, w, interval)
+
+            self._select[key] = fn
+        return self._select[key]
+
+    def __call__(self, frames: np.ndarray) -> Tuple[np.ndarray, bool]:
+        """frames (N, S, S, 3) float32 -> ((K,) selected indices, flag).
+
+        Pads N up to a length bucket (one XLA compile per bucket x W);
+        the adaptive window W = N//interval resolves on the true N
+        before padding, so selection matches the reference exactly.
+        """
+        n = frames.shape[0]
+        if n == 0:
+            return np.zeros((self.k,), np.int64), True
+        w = max(n // self.interval, 1) if self.window == -1 else self.window
+        b = bucket_for(n)
+        padded = np.zeros((b,) + frames.shape[1:], frames.dtype)
+        padded[:n] = frames
+        inds, exhausted = self._fn_for(b, w)(padded, n)
+        return np.asarray(inds), bool(exhausted)
+
+
+def load_video_paths(dataset: str, dataset_root: str,
+                     anno_path: str = "annotations") -> List[str]:
+    """Scan annotation splits for unique video ids -> paths
+    (reference: preprocessing/datautils/msvd_qa.py:10-22,
+    msrvtt_qa.py:11-23)."""
+    droot = os.path.join(dataset_root, dataset)
+    video_dir = os.path.join(droot, "video")
+    seen, paths = set(), []
+    for split in ("train", "val", "test"):
+        anno = os.path.join(droot, anno_path, f"qa_{split}.json")
+        if not os.path.exists(anno):
+            continue
+        for qa in load_json(anno):
+            name = qa.get("video") or f"video{qa.get('video_id')}.mp4"
+            if name not in seen:
+                seen.add(name)
+                paths.append(os.path.join(video_dir, name))
+    return paths
+
+
+def extract(video_paths: List[str], out_dir: str, args) -> Dict[str, int]:
+    """Main extraction loop: decode (background thread) -> sample -> h5."""
+    os.makedirs(out_dir, exist_ok=True)
+    h5_out = os.path.join(out_dir,
+                          f"{args.dataset}_video_feat.h5")
+    map_out = os.path.join(out_dir, "vidmapping.json")
+    video_ids = [os.path.basename(p).split(".")[0] for p in video_paths]
+    save_vidmapping(video_ids, map_out)
+
+    rng = np.random.default_rng(args.seed)
+    mdf = None
+    if args.sampling_strategy == "repr":
+        mdf = MDFEncoder(args.K, args.W, weights_path=args.vision_weights,
+                         img_size=args.img_size)
+
+    debug_counter = {"Failure": 0, "Zeros": 0}
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def decode_worker():
+        for i, path in enumerate(video_paths):
+            try:
+                frames = decode_video(path, interval=args.intv,
+                                      out_size=(args.img_size,
+                                                args.img_size))
+            except Exception as e:
+                LOGGER.warning(f"decode failed for {path}: {e}")
+                frames = np.zeros((0, args.img_size, args.img_size, 3),
+                                  np.uint8)
+            q.put((i, frames))
+        q.put(None)
+
+    t = threading.Thread(target=decode_worker, daemon=True)
+    t.start()
+
+    with FrameStoreWriter(h5_out, len(video_paths), args.K,
+                          args.img_size) as writer:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            i, frames_u8 = item
+            frames = preprocess_frames(frames_u8, args.img_size) \
+                if len(frames_u8) else np.zeros(
+                    (0, args.img_size, args.img_size, 3), np.float32)
+            n = frames.shape[0]
+            if n == 0:
+                debug_counter["Zeros"] += 1
+                sel = np.zeros((args.K, args.img_size, args.img_size, 3),
+                               np.float32)
+            elif args.sampling_strategy == "repr":
+                inds, exhausted = mdf(frames)
+                if exhausted:
+                    debug_counter["Failure"] += 1
+                sel = frames[inds]
+            elif args.sampling_strategy == "uni":
+                if n < args.K:  # repeat-pad short videos then sample
+                    reps = int(np.ceil(args.K / n))
+                    frames = np.repeat(frames, reps, axis=0)
+                    n = frames.shape[0]
+                inds = _uniform_centers(n, args.K)
+                sel = frames[inds]
+            elif args.sampling_strategy == "git6":
+                inds = git6_indices(n, args.K, 4, rng)
+                sel = frames[inds]
+            else:
+                raise ValueError(args.sampling_strategy)
+            writer.write(i, sel.transpose(0, 3, 1, 2))
+            if (i + 1) % 50 == 0:
+                LOGGER.info(f"extracted {i + 1}/{len(video_paths)}")
+
+    LOGGER.info(f"Total Failure:{debug_counter['Failure']} "
+                f"Zeros:{debug_counter['Zeros']}")
+    return debug_counter
+
+
+def _uniform_centers(n: int, k: int) -> np.ndarray:
+    """K frames at interval centers (utils.py:96-109 semantics)."""
+    intv = n / k
+    idx = [int(intv // 2 + i * intv) for i in range(k)]
+    return np.clip(np.asarray(idx), 0, n - 1)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="stage A frame extraction")
+    p.add_argument("--dataset", default="msvd_qa",
+                   choices=["msvd_qa", "msrvtt_qa", "svqa"])
+    p.add_argument("--dataset_root", default="./dataset")
+    p.add_argument("--anno_path", default="annotations")
+    p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--intv", type=int, default=1,
+                   help="decode keeps every intv-th frame")
+    p.add_argument("--sampling_strategy", default="uni",
+                   choices=["uni", "repr", "git6"])
+    p.add_argument("--K", type=int, default=16)
+    p.add_argument("--W", type=int, default=8,
+                   help="MDF suppression window; -1 = adaptive N//20")
+    p.add_argument("--h5_fname", default="processed")
+    p.add_argument("--vision_weights", default=None,
+                   help="local HF checkpoint for the MDF vision encoder")
+    p.add_argument("--seed", type=int, default=666)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    paths = load_video_paths(args.dataset, args.dataset_root,
+                             args.anno_path)
+    rng = np.random.default_rng(args.seed)
+    rng.shuffle(paths)
+    out_dir = os.path.join(args.dataset_root, args.dataset, args.h5_fname)
+    return extract(paths, out_dir, args)
+
+
+if __name__ == "__main__":
+    main()

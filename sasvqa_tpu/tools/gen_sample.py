@@ -1,0 +1,203 @@
+"""Offline stage B: MIF caption generation + question-aware frame scoring.
+
+Rebuild of src/preprocessing/gen_sample.py (CLI parity):
+
+    python -m sasvqa_tpu.tools.gen_sample --task gen_cap  --dataset msvd_qa ...
+    python -m sasvqa_tpu.tools.gen_sample --task gen_inds --dataset msvd_qa ...
+
+- gen_cap (:27-45): every stored frame of every video -> GIT caption
+  ('[CLS] ' prompt, greedy max_length=30) -> frame_captions.json.
+  TPU-first: all K frames of a video decode as ONE batch through the
+  jitted image-KV-cached greedy decoder (the reference loops rows and
+  runs HF generate per row).
+- gen_inds (:50-94): per QA pair, score (question, caption_k) with a
+  BERT sequence classifier, logits[:, 0], downsample ::ds_rate, top-K
+  importance-ordered indices * ds_rate -> qa_winds_{split}.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from sasvqa_tpu.core.logging import LOGGER
+from sasvqa_tpu.data.frame_store import FrameStoreReader
+from sasvqa_tpu.data.tokenization import (WordPieceTokenizer,
+                                          make_test_wordpiece)
+from sasvqa_tpu.sampling.mif import (generate_inds_for_split,
+                                     topk_downsampled)
+from sasvqa_tpu.utils.basic import load_json, save_json
+
+
+def _tokenizer(args) -> WordPieceTokenizer:
+    if args.tokenizer_dir:
+        return WordPieceTokenizer.from_vocab_file(
+            os.path.join(args.tokenizer_dir, "vocab.txt"))
+    LOGGER.warning("no --tokenizer_dir; using built-in test vocab")
+    return make_test_wordpiece()
+
+
+def run_gen_cap(args) -> Dict[str, List[str]]:
+    """Caption every stored frame; write frame_captions.json."""
+    import jax
+    import jax.numpy as jnp
+    from sasvqa_tpu.models.git import GITForCausalLM, greedy_generate
+    from sasvqa_tpu.models.presets import (_git_config,
+                                           load_pretrained_params)
+
+    tok = _tokenizer(args)
+    cfg = _git_config(args.vlm_model.lower())
+    model = GITForCausalLM(cfg, dtype=jnp.bfloat16)
+
+    store = FrameStoreReader(args.h5_file)
+    num_videos, k, _ = store.shape
+    sample = store.read_nhwc(0)
+    hw = sample.shape[1]
+
+    ids0 = jnp.full((k, 1), tok.cls_token_id, jnp.int32)
+    plen = jnp.ones((k,), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), ids0,
+                                 jnp.ones_like(ids0),
+                                 jnp.zeros((k, 1, hw, hw, 3)))
+    if args.weights:
+        params = load_pretrained_params("git", model, params, args.weights)
+
+    @jax.jit
+    def gen(params, frames):
+        return greedy_generate(model, params, ids0, plen, frames,
+                               max_text_len=args.max_length,
+                               max_new_tokens=args.max_length - 1)
+
+    captions: Dict[str, List[str]] = {}
+    for row in range(num_videos):
+        frames = store.read_nhwc(row)[:, None]          # (K, 1, H, W, 3)
+        out = np.asarray(gen(params, jnp.asarray(frames)))
+        captions[str(row)] = [tok.decode(out[i]) for i in range(k)]
+        if (row + 1) % 50 == 0:
+            LOGGER.info(f"captioned {row + 1}/{num_videos}")
+
+    out_file = os.path.join(args.anno_dir, "frame_captions.json")
+    save_json(captions, out_file)
+    LOGGER.info(f"wrote {out_file}")
+    return captions
+
+
+def run_gen_inds(args) -> None:
+    """Score question/caption pairs; write qa_winds_{split}.json."""
+    import jax
+    import jax.numpy as jnp
+    from sasvqa_tpu.models.bert import (BERTConfig,
+                                        BERTForSequenceClassification,
+                                        convert_bert_classifier)
+
+    tok = _tokenizer(args)
+    vocab_size = max(tok.vocab.values()) + 1
+    cfg = BERTConfig(vocab_size=vocab_size) if not args.tiny else \
+        BERTConfig(vocab_size=vocab_size, hidden_size=32, num_layers=2,
+                   num_heads=4, intermediate_size=64,
+                   max_position_embeddings=128)
+    model = BERTForSequenceClassification(cfg)
+    dummy = jnp.zeros((1, 8), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), dummy,
+                                 jnp.ones((1, 8), jnp.int32))
+    if args.weights:
+        from sasvqa_tpu.models.convert import merge_pretrained
+        from sasvqa_tpu.models.presets import _load_torch_state_dict
+        sd = _load_torch_state_dict(args.weights)
+        conv = convert_bert_classifier(sd, cfg.num_layers)
+        merged, report = merge_pretrained(params["params"], conv)
+        params = {"params": merged}
+        LOGGER.info(f"scorer: loaded {len(report['loaded'])} tensors")
+
+    score_fn = jax.jit(lambda ids, mask: model.apply(params, ids, mask))
+
+    cap_file = os.path.join(args.anno_dir, "frame_captions.json")
+    all_captions = load_json(cap_file)
+
+    if args.dataset == "msvd_qa":
+        vid_name, qid_temp = "video", "video{}"
+    elif args.dataset == "msrvtt_qa":
+        vid_name, qid_temp = "video_id", "{}"
+    else:
+        raise ValueError("supported datasets: msvd_qa, msrvtt_qa")
+
+    # msvd annotations carry '<id>.avi'; captions are keyed by h5 row via
+    # vidmapping — translate through the mapping when available
+    vid2row = None
+    if args.vid_mapping and os.path.exists(args.vid_mapping):
+        vid2row = load_json(args.vid_mapping)
+
+    for split in ("train", "val", "test"):
+        read_file = os.path.join(args.anno_dir, f"qa_{split}.json")
+        if not os.path.exists(read_file):
+            continue
+        ds = load_json(read_file)
+        new_ds = []
+        for sample in ds:
+            raw_vid = sample[vid_name]
+            if vid2row is not None:
+                key = str(raw_vid).split(".")[0]
+                row = vid2row.get(key, vid2row.get(str(raw_vid)))
+                cap_key = str(row)
+            else:
+                cap_key = qid_temp.format(raw_vid)
+            captions = all_captions[cap_key]
+            enc = tok([sample["question"]] * len(captions),
+                      max_length=args.max_length,
+                      text_pairs=list(captions))
+            logits = score_fn(jnp.asarray(enc["input_ids"]),
+                              jnp.asarray(enc["attention_mask"]))
+            scores = np.asarray(logits[:, 0])
+            sample = dict(sample)
+            sample["sampled_inds"] = topk_downsampled(
+                scores, args.K, args.ds_rate)
+            new_ds.append(sample)
+        out_file = os.path.join(args.anno_dir, f"qa_winds_{split}.json")
+        save_json(new_ds, out_file)
+        LOGGER.info(f"wrote {out_file} ({len(new_ds)} samples)")
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="stage B MIF caption/score")
+    p.add_argument("--dataset", default="msvd_qa",
+                   choices=["msvd_qa", "msrvtt_qa"])
+    p.add_argument("--dataset_root", default="./dataset")
+    p.add_argument("--anno_path", default="annotations")
+    p.add_argument("--h5_path", default="processed")
+    p.add_argument("--task", choices=["gen_cap", "gen_inds"],
+                   default="gen_cap")
+    p.add_argument("--vlm_model", default="microsoft/git-base-coco")
+    p.add_argument("--sim_model",
+                   default="iarfmoose/bert-base-cased-qa-evaluator")
+    p.add_argument("--weights", default=None,
+                   help="local HF checkpoint for the captioner/scorer")
+    p.add_argument("--tokenizer_dir", default=None)
+    p.add_argument("--K", type=int, default=32)
+    p.add_argument("--ds_rate", type=int, default=1)
+    p.add_argument("--max_length", type=int, default=30)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model dims (tests/synthetic)")
+    p.add_argument("--seed", type=int, default=666)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    droot = os.path.join(args.dataset_root, args.dataset)
+    args.anno_dir = os.path.join(droot, args.anno_path)
+    h5_dir = os.path.join(droot, args.h5_path)
+    args.h5_file = os.path.join(h5_dir, f"{args.dataset}_video_feat.h5")
+    args.vid_mapping = os.path.join(h5_dir, "vidmapping.json")
+    if args.task == "gen_cap":
+        if "git" not in args.vlm_model.lower():
+            raise ValueError("captioning model must be a GIT variant")
+        run_gen_cap(args)
+    else:
+        run_gen_inds(args)
+
+
+if __name__ == "__main__":
+    main()
