@@ -42,7 +42,7 @@ def main():
 
     key = jax.random.key(0)
     params = jax.jit(model.init)(key, jnp.asarray(ids), jnp.asarray(mask),
-                                 jnp.asarray(pixels[:1, :1]))
+                                 jnp.asarray(pixels[:, :1]))
 
     import optax
     tx = optax.adamw(1e-5)
@@ -63,15 +63,18 @@ def main():
     args = (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(pixels),
             jnp.asarray(labels))
 
-    # warmup / compile
-    params, opt_state, loss = train_step(params, opt_state, *args)
-    jax.block_until_ready(loss)
+    # warmup / compile.  NOTE: under the experimental axon runtime,
+    # jax.block_until_ready has been observed both to return early and to
+    # wedge for minutes; a host float() fetch is the reliable sync here.
+    for _ in range(2):
+        params, opt_state, loss = train_step(params, opt_state, *args)
+        float(loss)
 
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         params, opt_state, loss = train_step(params, opt_state, *args)
-    jax.block_until_ready(loss)
+        float(loss)
     dt = time.perf_counter() - t0
 
     n_chips = len(jax.devices())

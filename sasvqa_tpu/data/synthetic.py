@@ -97,3 +97,42 @@ def make_synthetic_dataset(root: str, task: str = "msvd_qa",
         save_json(annos, p)
         paths[split] = p
     return paths
+
+
+def make_synthetic_mc_dataset(root: str, task: str = "action",
+                              num_videos: int = 6, stored_frames: int = 8,
+                              img_hw: int = 32, n_options: int = 5,
+                              seed: int = 0) -> Dict[str, str]:
+    """TGIF-QA style multiple-choice fixtures: jsonl with options and an
+    integer answer index (reference tgif format, run_video_qa.py:95-120)."""
+    from sasvqa_tpu.utils.basic import save_jsonl
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    video_ids = [f"gif{i:04d}" for i in range(num_videos)]
+
+    h5_path = os.path.join(root, f"{task}_video_feat.h5")
+    with FrameStoreWriter(h5_path, num_videos, stored_frames,
+                          img_hw) as writer:
+        for i in range(num_videos):
+            frames = make_video_frames(i, stored_frames, img_hw)
+            writer.write(i, frames.transpose(0, 3, 1, 2))
+    map_path = os.path.join(root, "vidmapping.json")
+    save_vidmapping(video_ids, map_path)
+
+    paths = {"h5": h5_path, "vidmapping": map_path}
+    for split in ("train", "val", "test"):
+        annos: List[dict] = []
+        for i, vid in enumerate(video_ids):
+            options = [f"{_SUBJECTS[j % len(_SUBJECTS)]} "
+                       f"{_VERBS[j % len(_VERBS)]}"
+                       for j in range(n_options)]
+            annos.append(dict(
+                gif_name=vid,
+                question="what does the person do ?",
+                options=options,
+                answer=int(rng.integers(0, n_options))))
+        p = os.path.join(root, f"{task}_{split}.jsonl")
+        save_jsonl(annos, p)
+        paths[split] = p
+    return paths

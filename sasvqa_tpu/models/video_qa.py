@@ -74,23 +74,56 @@ class CLIPVideoQA(nn.Module):
             classifier=self.head.classifier,
             cls_hidden_scale=self.head.cls_hidden_scale,
             dtype=self.dtype)
+        self.mc_head = AnswerClassifier(
+            num_labels=1, dropout_rate=self.head.hidden_dropout_prob,
+            dtype=self.dtype)
+
+    def encode_video(self, pixel_values: jax.Array) -> jax.Array:
+        """(B, T, H, W, C) -> per-frame embeddings (B, T, proj)."""
+        b, t = pixel_values.shape[:2]
+        flat = pixel_values.reshape((b * t,) + pixel_values.shape[2:])
+        _, _, image_embeds = self.vis_model(flat)        # (B*T, proj)
+        return image_embeds.reshape(b, t, -1)
 
     def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
                  pixel_values: jax.Array,
                  labels: Optional[jax.Array] = None,
                  deterministic: bool = True) -> Dict[str, jax.Array]:
         """input_ids (B, L); pixel_values (B, T, H, W, C)."""
-        b, t = pixel_values.shape[:2]
         txt_hidden, _ = self.txt_model(input_ids, attention_mask)
-        flat = pixel_values.reshape((b * t,) + pixel_values.shape[2:])
-        _, _, image_embeds = self.vis_model(flat)        # (B*T, proj)
-        vis = image_embeds.reshape(b, t, -1)             # (B, T, proj)
+        vis = self.encode_video(pixel_values)
         logits = self.answer_head(txt_hidden, attention_mask, vis,
                                   deterministic=deterministic)
         out = {"logits": logits}
         if labels is not None:
             out["loss"] = classification_loss(logits, labels,
                                               self.head.loss_type)
+        return out
+
+    def multiple_choice(self, input_ids: jax.Array,
+                        attention_mask: jax.Array,
+                        pixel_values: jax.Array, n_options: int,
+                        labels: Optional[jax.Array] = None,
+                        deterministic: bool = True) -> Dict[str, jax.Array]:
+        """TGIF-QA action/transition MC scoring.
+
+        input_ids (B*O, L) question+option rows; pixel_values (B, T, ...).
+        The video encodes ONCE; per-frame embeddings repeat across the O
+        option rows in embedding space (the reference instead repeats
+        raw mean-pooled features per row via repeat_counts,
+        modeling.py:439-441, and its MC loss shape never matched — this
+        is the standard per-option-scalar formulation instead).
+        Returns logits (B, O); labels (B,) option indices.
+        """
+        txt_hidden, _ = self.txt_model(input_ids, attention_mask)
+        vis = self.encode_video(pixel_values)            # (B, T, proj)
+        vis = jnp.repeat(vis, n_options, axis=0)         # (B*O, T, proj)
+        scores = self.mc_head(txt_hidden, attention_mask, vis,
+                              deterministic=deterministic)  # (B*O, 1)
+        logits = scores.reshape(-1, n_options)
+        out = {"logits": logits}
+        if labels is not None:
+            out["loss"] = classification_loss(logits, labels, "ce")
         return out
 
 
@@ -118,26 +151,56 @@ class BLIPVideoQA(nn.Module):
             classifier=self.head.classifier,
             cls_hidden_scale=self.head.cls_hidden_scale,
             dtype=self.dtype)
+        self.mc_head = AnswerClassifier(
+            num_labels=1, dropout_rate=self.head.hidden_dropout_prob,
+            dtype=self.dtype)
 
-    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
-                 pixel_values: jax.Array,
-                 labels: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> Dict[str, jax.Array]:
+    def _encode(self, pixel_values, input_ids, attention_mask,
+                deterministic, repeat: int = 1):
         b, t = pixel_values.shape[:2]
         flat = pixel_values.reshape((b * t,) + pixel_values.shape[2:])
         vis_hidden, vis_pooled = self.vis_model(flat)    # (B*T, P, D)
         p, d = vis_hidden.shape[-2:]
         enc_hidden = vis_hidden.reshape(b, t * p, d)
+        if repeat > 1:
+            enc_hidden = jnp.repeat(enc_hidden, repeat, axis=0)
         txt_hidden, _ = self.txt_model(input_ids, attention_mask,
                                        encoder_hidden=enc_hidden,
                                        deterministic=deterministic)
         vis = vis_pooled.reshape(b, t, -1)
+        if repeat > 1:
+            vis = jnp.repeat(vis, repeat, axis=0)
+        return txt_hidden, vis
+
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
+                 pixel_values: jax.Array,
+                 labels: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> Dict[str, jax.Array]:
+        txt_hidden, vis = self._encode(pixel_values, input_ids,
+                                       attention_mask, deterministic)
         logits = self.answer_head(txt_hidden, attention_mask, vis,
                                   deterministic=deterministic)
         out = {"logits": logits}
         if labels is not None:
             out["loss"] = classification_loss(logits, labels,
                                               self.head.loss_type)
+        return out
+
+    def multiple_choice(self, input_ids: jax.Array,
+                        attention_mask: jax.Array,
+                        pixel_values: jax.Array, n_options: int,
+                        labels: Optional[jax.Array] = None,
+                        deterministic: bool = True) -> Dict[str, jax.Array]:
+        """See CLIPVideoQA.multiple_choice — same formulation."""
+        txt_hidden, vis = self._encode(pixel_values, input_ids,
+                                       attention_mask, deterministic,
+                                       repeat=n_options)
+        scores = self.mc_head(txt_hidden, attention_mask, vis,
+                              deterministic=deterministic)
+        logits = scores.reshape(-1, n_options)
+        out = {"logits": logits}
+        if labels is not None:
+            out["loss"] = classification_loss(logits, labels, "ce")
         return out
 
 

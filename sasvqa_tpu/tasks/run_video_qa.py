@@ -103,9 +103,29 @@ def decode_answers(tokenizer, generated: np.ndarray,
     return preds, strs
 
 
+def _pad_mc_batch(batch, n_dev: int, n_options: int):
+    """Pad an MC batch: video axis (B) to n_dev, text axis to B'*O."""
+    import numpy as np
+    b = batch["visual_inputs"].shape[0]
+    rem = (-b) % n_dev
+    if rem == 0:
+        return batch
+    out = dict(batch)
+    out["visual_inputs"] = np.pad(
+        batch["visual_inputs"],
+        [(0, rem)] + [(0, 0)] * (batch["visual_inputs"].ndim - 1))
+    if batch.get("labels") is not None:
+        out["labels"] = np.pad(batch["labels"], (0, rem),
+                               constant_values=-100)
+    for k in ("text_input_ids", "text_attention_mask"):
+        out[k] = np.pad(batch[k],
+                        [(0, rem * n_options), (0, 0)])
+    return out
+
+
 def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
              eval_step, mesh, eval_score: bool = True,
-             tag: str = "valid") -> Dict[str, Any]:
+             tag: str = "valid", n_options: int = 0) -> Dict[str, Any]:
     st = time.time()
     qa_results = []
     n_ex = 0
@@ -115,7 +135,10 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
         question_ids = batch.pop("question_ids")
         batch.pop("n_examples_list", None)
         n_real = len(question_ids)
-        batch = pad_batch_to_multiple(batch, n_dev)
+        if n_options:
+            batch = _pad_mc_batch(batch, n_dev, n_options)
+        else:
+            batch = pad_batch_to_multiple(batch, n_dev)
         batch = {k: v for k, v in batch.items() if v is not None}
         if family == "git":
             generated = np.asarray(eval_step(state, batch))
@@ -157,11 +180,15 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
 
 def start_training(cfg) -> Dict[str, Any]:
     key, host_rng = set_random_seed(cfg.seed)
-    family = None
+    is_mc = cfg.task in ("action", "transition")
 
-    # answer vocab from the train split, k=1000 (run_video_qa.py:205-208)
-    anno_files = (cfg.train_datasets[0].txt,)
-    ans2label = build_common_answer_dict(anno_files, 1000)
+    if is_mc:
+        # MC answers are option indices; identity label map
+        ans2label = {i: i for i in range(cfg.num_labels)}
+    else:
+        # answer vocab from the train split, k=1000 (run_video_qa.py:205-208)
+        anno_files = (cfg.train_datasets[0].txt,)
+        ans2label = build_common_answer_dict(anno_files, 1000)
 
     from sasvqa_tpu.models.video_qa import model_family
     family = model_family(cfg.model.pretrained_model)
@@ -195,7 +222,12 @@ def start_training(cfg) -> Dict[str, Any]:
     init_args = (jnp.asarray(probe["text_input_ids"]),
                  jnp.asarray(probe["text_attention_mask"]),
                  jnp.asarray(probe["visual_inputs"]))
-    params = jax.jit(model.init)(key, *init_args)
+    if is_mc:
+        params = jax.jit(lambda k, i, a, p: model.init(
+            k, i, a, p, cfg.num_labels, method="multiple_choice"))(
+            key, *init_args)
+    else:
+        params = jax.jit(model.init)(key, *init_args)
     weights_path = cfg.model.get("pretrained_weights")
     if weights_path:
         params = load_pretrained_params(family, model, params, weights_path)
@@ -215,7 +247,11 @@ def start_training(cfg) -> Dict[str, Any]:
                            * cfg.gradient_accumulation_steps), 1))
     state = restorer.restore_into(state)
 
-    if family == "git":
+    if is_mc:
+        train_step = train_steps.make_mc_train_step(cfg.num_labels, mesh)
+        eval_step = train_steps.make_mc_eval_step(cfg.num_labels, mesh)
+        eval_collator = collator
+    elif family == "git":
         train_step = train_steps.make_git_train_step(mesh)
         eval_step = train_steps.make_git_eval_step(
             model, max_text_len=cfg.get("gen_max_text_len", 50),
@@ -233,13 +269,15 @@ def start_training(cfg) -> Dict[str, Any]:
     LOGGER.info(f"***** training: {cfg.num_train_steps} steps, validate "
                 f"every {cfg.valid_steps}, {n_dev} devices *****")
 
+    n_opt = cfg.num_labels if is_mc else 0
+
     def run_validation(tag_prefix=""):
         res_v = validate(state, val_ds, eval_collator, cfg, family,
                          tokenizer, ans2label, eval_step, mesh,
-                         tag=f"{tag_prefix}valid")
+                         tag=f"{tag_prefix}valid", n_options=n_opt)
         res_t = validate(state, test_ds, eval_collator, cfg, family,
                          tokenizer, ans2label, eval_step, mesh,
-                         tag=f"{tag_prefix}test")
+                         tag=f"{tag_prefix}test", n_options=n_opt)
         return res_v, res_t
 
     if cfg.get("zero_eval"):

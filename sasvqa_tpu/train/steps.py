@@ -148,6 +148,46 @@ def make_git_train_step(mesh: Optional[Mesh] = None):
     return _maybe_jit_sharded(step, mesh)
 
 
+def make_mc_train_step(n_options: int, mesh: Optional[Mesh] = None):
+    """Train step for TGIF-QA action/transition multiple choice:
+    logits (B, n_options), labels (B,) option indices."""
+
+    def step(state: TrainState, batch: Dict[str, Any], rng) -> Tuple:
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out = state.apply_fn(
+                params, batch["text_input_ids"],
+                batch["text_attention_mask"], batch["visual_inputs"],
+                n_options, labels=batch["labels"], deterministic=False,
+                rngs={"dropout": rng}, method="multiple_choice")
+            return out["loss"], out["logits"]
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        preds = jnp.argmax(logits, axis=-1)
+        metrics = {
+            "loss": loss,
+            "acc_correct": (preds == batch["labels"]).sum(),
+            "acc_total": jnp.asarray(preds.shape[0]),
+        }
+        return state, metrics
+
+    return _maybe_jit_sharded(step, mesh)
+
+
+def make_mc_eval_step(n_options: int, mesh: Optional[Mesh] = None):
+    def step(state: TrainState, batch: Dict[str, Any]):
+        out = state.apply_fn(
+            state.params, batch["text_input_ids"],
+            batch["text_attention_mask"], batch["visual_inputs"],
+            n_options, method="multiple_choice")
+        return jnp.argmax(out["logits"], axis=-1), jnp.zeros(())
+
+    return _maybe_jit_sharded(step, mesh, donate=False)
+
+
 def make_classifier_eval_step(mesh: Optional[Mesh] = None):
     def step(state: TrainState, batch: Dict[str, Any]):
         out = state.apply_fn(

@@ -87,6 +87,22 @@ def test_git_end_to_end(synth, tmp_path):
     assert "overall_acc" in result["val"]
 
 
+def test_tgif_action_multiple_choice(tmp_path_factory, tmp_path):
+    """TGIF-QA action MC: per-option scoring head, option-index labels."""
+    from sasvqa_tpu.data.synthetic import make_synthetic_mc_dataset
+    from sasvqa_tpu.tasks.run_video_qa import main
+    root = tmp_path_factory.mktemp("mcdata")
+    paths = make_synthetic_mc_dataset(str(root), num_videos=4,
+                                      stored_frames=8, img_hw=32)
+    cfg_path = _write_config(
+        tmp_path, paths,
+        {"pretrained_model": "tiny-clip", "vocab_size": 512})
+    result = main(["--task", "action", "--config", cfg_path])
+    assert np.isfinite(result["train_loss"])
+    assert "overall_acc" in result["val"]
+    assert "what_acc" not in result["val"]  # MC has no per-type metrics
+
+
 def test_blip_end_to_end(synth, tmp_path):
     from sasvqa_tpu.tasks.run_video_qa import main
     cfg_path = _write_config(
