@@ -69,6 +69,11 @@ class TrainingRestorer:
         latest = self._mgr.latest_step()
         return int(latest) if latest is not None else 0
 
+    def force_save(self, step: int, state: Any) -> None:
+        self._mgr.save(max(int(step), 1), args=ocp.args.StandardSave(
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step}), force=True)
+
     def maybe_save(self, step: int, state: Any) -> None:
         if step > 0 and step % self.save_steps == 0:
             self._mgr.save(step, args=ocp.args.StandardSave(

@@ -58,12 +58,19 @@ def _patch_embed(sd, prefix, use_bias=False):
 
 
 def _preln_block(sd, p):
-    """CLIP-style encoder layer (separate q/k/v/out projections)."""
+    """CLIP-style encoder layer -> fused-QKV layout (models/layers.py
+    FusedSelfAttention): HF's separate q/k/v kernels concatenate on the
+    output axis in q,k,v order."""
+    qw = _np(sd[f"{p}.self_attn.q_proj.weight"]).T
+    kw = _np(sd[f"{p}.self_attn.k_proj.weight"]).T
+    vw = _np(sd[f"{p}.self_attn.v_proj.weight"]).T
+    qb = _np(sd[f"{p}.self_attn.q_proj.bias"])
+    kb = _np(sd[f"{p}.self_attn.k_proj.bias"])
+    vb = _np(sd[f"{p}.self_attn.v_proj.bias"])
     return {
         "self_attn": {
-            "q_proj": _lin(sd, f"{p}.self_attn.q_proj"),
-            "k_proj": _lin(sd, f"{p}.self_attn.k_proj"),
-            "v_proj": _lin(sd, f"{p}.self_attn.v_proj"),
+            "qkv": {"kernel": np.concatenate([qw, kw, vw], axis=1),
+                    "bias": np.concatenate([qb, kb, vb])},
             "out_proj": _lin(sd, f"{p}.self_attn.out_proj"),
         },
         "layer_norm1": _ln(sd, f"{p}.layer_norm1"),
@@ -74,17 +81,11 @@ def _preln_block(sd, p):
 
 
 def _blip_vision_block(sd, p):
-    """BLIP vision layer: combined qkv projection -> split into three."""
-    qkv_w = _np(sd[f"{p}.self_attn.qkv.weight"])      # (3D, D)
-    qkv_b = _np(sd[f"{p}.self_attn.qkv.bias"])
-    d = qkv_w.shape[1]
-    qw, kw, vw = qkv_w[:d], qkv_w[d:2 * d], qkv_w[2 * d:]
-    qb, kb, vb = qkv_b[:d], qkv_b[d:2 * d], qkv_b[2 * d:]
+    """BLIP vision layer: HF stores QKV already fused as (3D, D)."""
     return {
         "self_attn": {
-            "q_proj": {"kernel": qw.T, "bias": qb},
-            "k_proj": {"kernel": kw.T, "bias": kb},
-            "v_proj": {"kernel": vw.T, "bias": vb},
+            "qkv": {"kernel": _np(sd[f"{p}.self_attn.qkv.weight"]).T,
+                    "bias": _np(sd[f"{p}.self_attn.qkv.bias"])},
             "out_proj": _lin(sd, f"{p}.self_attn.projection"),
         },
         "layer_norm1": _ln(sd, f"{p}.layer_norm1"),
@@ -100,6 +101,22 @@ def _bert_attention(sd, p):
         "query": _lin(sd, f"{p}.self.query"),
         "key": _lin(sd, f"{p}.self.key"),
         "value": _lin(sd, f"{p}.self.value"),
+        "out_dense": _lin(sd, f"{p}.output.dense"),
+        "out_ln": _ln(sd, f"{p}.output.LayerNorm"),
+    }
+
+
+def _bert_attention_fused(sd, p):
+    """BERT attention -> fused QKV layout (GitAttention)."""
+    qw = _np(sd[f"{p}.self.query.weight"]).T
+    kw = _np(sd[f"{p}.self.key.weight"]).T
+    vw = _np(sd[f"{p}.self.value.weight"]).T
+    qb = _np(sd[f"{p}.self.query.bias"])
+    kb = _np(sd[f"{p}.self.key.bias"])
+    vb = _np(sd[f"{p}.self.value.bias"])
+    return {
+        "qkv": {"kernel": np.concatenate([qw, kw, vw], axis=1),
+                "bias": np.concatenate([qb, kb, vb])},
         "out_dense": _lin(sd, f"{p}.output.dense"),
         "out_ln": _ln(sd, f"{p}.output.LayerNorm"),
     }
@@ -175,7 +192,7 @@ def convert_git(sd: Dict[str, Any], num_layers: int,
     for i in range(num_layers):
         p = f"git.encoder.layer.{i}"
         params[f"layer_{i}"] = {
-            "attention": _bert_attention(sd, f"{p}.attention"),
+            "attention": _bert_attention_fused(sd, f"{p}.attention"),
             "ffn": {
                 "intermediate": _lin(sd, f"{p}.intermediate.dense"),
                 "output": _lin(sd, f"{p}.output.dense"),

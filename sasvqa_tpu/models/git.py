@@ -65,7 +65,12 @@ GIT_BASE = GITConfig()
 
 
 class GitAttention(nn.Module):
-    """BERT-style attention block with exposed K/V projection for caching."""
+    """BERT-style attention block with a fused QKV projection and the
+    K/V exposed for decode caching.
+
+    Fused QKV: one (D, 3D) matmul instead of three (D, D) — the MXU runs
+    D=768 x 3D matmuls ~2x faster than three D x D ones on v5e.
+    """
 
     hidden_size: int
     num_heads: int
@@ -74,31 +79,38 @@ class GitAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.query = nn.Dense(self.hidden_size, dtype=self.dtype)
-        self.key = nn.Dense(self.hidden_size, dtype=self.dtype)
-        self.value = nn.Dense(self.hidden_size, dtype=self.dtype)
+        self.qkv = nn.Dense(3 * self.hidden_size, dtype=self.dtype)
         self.out_dense = nn.Dense(self.hidden_size, dtype=self.dtype)
         self.out_ln = nn.LayerNorm(epsilon=self.layer_norm_eps,
                                    dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout_rate)
 
-    def kv(self, hidden: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        k = split_heads(self.key(hidden), self.num_heads)
-        v = split_heads(self.value(hidden), self.num_heads)
-        return k, v
+    def project(self, hidden: jax.Array
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        q, k, v = jnp.split(self.qkv(hidden), 3, axis=-1)
+        return (split_heads(q, self.num_heads),
+                split_heads(k, self.num_heads),
+                split_heads(v, self.num_heads))
 
-    def attend(self, hidden: jax.Array, k: jax.Array, v: jax.Array,
-               bias: Optional[jax.Array], deterministic: bool = True,
-               use_flash: Optional[bool] = None) -> jax.Array:
-        q = split_heads(self.query(hidden), self.num_heads)
-        ctx = merge_heads(dot_product_attention(q, k, v, bias=bias,
-                                                use_flash=use_flash))
+    def finish(self, hidden: jax.Array, q: jax.Array, k: jax.Array,
+               v: jax.Array, bias: Optional[jax.Array],
+               deterministic: bool = True,
+               use_flash: Optional[bool] = None,
+               git_mask: Optional[Tuple[int, jax.Array]] = None) -> jax.Array:
+        if git_mask is not None:
+            from sasvqa_tpu.ops.git_flash import git_flash_attention
+            num_img, attention_mask = git_mask
+            ctx = merge_heads(git_flash_attention(
+                q, k, v, attention_mask, num_img))
+        else:
+            ctx = merge_heads(dot_product_attention(q, k, v, bias=bias,
+                                                    use_flash=use_flash))
         out = self.drop(self.out_dense(ctx), deterministic=deterministic)
         return self.out_ln(hidden + out)
 
     def __call__(self, hidden, bias=None, deterministic=True, use_flash=None):
-        k, v = self.kv(hidden)
-        return self.attend(hidden, k, v, bias, deterministic, use_flash)
+        q, k, v = self.project(hidden)
+        return self.finish(hidden, q, k, v, bias, deterministic, use_flash)
 
 
 class GitFFN(nn.Module):
@@ -133,23 +145,22 @@ class GitLayer(nn.Module):
         self.ffn = GitFFN(c.hidden_size, c.intermediate_size, c.hidden_act,
                           c.layer_norm_eps, c.dropout, dtype=self.dtype)
 
-    def __call__(self, x, bias=None, deterministic=True, use_flash=None):
-        x = self.attention(x, bias=bias, deterministic=deterministic,
-                           use_flash=use_flash)
+    def __call__(self, x, bias=None, deterministic=True, use_flash=None,
+                 git_mask=None):
+        q, k, v = self.attention.project(x)
+        x = self.attention.finish(x, q, k, v, bias, deterministic,
+                                  use_flash, git_mask=git_mask)
         return self.ffn(x, deterministic=deterministic)
 
-    def full_with_kv(self, x, bias=None, deterministic=True, use_flash=None):
+    def full_with_kv(self, x, bias=None, deterministic=True, use_flash=None,
+                     git_mask=None):
         """Forward pass that also returns this layer's input K/V (for
         building decode caches during prompt fill)."""
-        k, v = self.attention.kv(x)
-        h = self.attention.attend(x, k, v, bias, deterministic, use_flash)
+        q, k, v = self.attention.project(x)
+        h = self.attention.finish(x, q, k, v, bias, deterministic,
+                                  use_flash, git_mask=git_mask)
         return self.ffn(h, deterministic=deterministic), (k, v)
 
-    def step(self, x_new, k_all, v_all, bias, deterministic=True):
-        """Single-token decode step: x_new (B, 1, D) attends over the
-        provided full K/V (image prefix + text cache)."""
-        h = self.attention.attend(x_new, k_all, v_all, bias, deterministic)
-        return self.ffn(h, deterministic=deterministic)
 
 
 def git_attention_bias(num_img: int, attention_mask: jax.Array,
@@ -184,10 +195,20 @@ def git_attention_bias(num_img: int, attention_mask: jax.Array,
 
 
 class GITForCausalLM(nn.Module):
-    """GIT causal LM over a [visual prefix; text] sequence."""
+    """GIT causal LM over a [visual prefix; text] sequence.
+
+    ``flash``: None = auto (specialized Pallas kernel on TPU when the
+    combined sequence is long enough), True/False = force.
+    """
 
     config: GITConfig
     dtype: jnp.dtype = jnp.float32
+    flash: Optional[bool] = None
+
+    def _use_git_flash(self, seq_len: int) -> bool:
+        if self.flash is not None:
+            return self.flash
+        return seq_len >= 512 and jax.default_backend() == "tpu"
 
     def setup(self):
         c = self.config
@@ -246,23 +267,31 @@ class GITForCausalLM(nn.Module):
         txt = self.embed_text(input_ids, jnp.arange(l)[None, :],
                               deterministic=deterministic)
         h = jnp.concatenate([vis, txt], axis=1)
-        bias = git_attention_bias(m, attention_mask, dtype=self.dtype)
+        if self._use_git_flash(m + l):
+            bias, git_mask = None, (m, attention_mask)
+        else:
+            bias, git_mask = git_attention_bias(
+                m, attention_mask, dtype=self.dtype), None
         for lyr in self.layer:
-            h = lyr(h, bias=bias, deterministic=deterministic)
-        logits = self.output(h)
+            h = lyr(h, bias=bias, deterministic=deterministic,
+                    git_mask=git_mask)
 
-        out = {"logits": logits}
-        if labels is not None:
-            # shift past the image prefix (modeling.py:221-225)
-            shifted = logits[:, m:-1, :].astype(jnp.float32)
-            tgt = labels[:, 1:]
-            valid = tgt != -100
-            tgt_safe = jnp.where(valid, tgt, 0)
-            logp = jax.nn.log_softmax(shifted, axis=-1)
-            nll = -jnp.take_along_axis(logp, tgt_safe[..., None],
-                                       axis=-1)[..., 0]
-            out["loss"] = (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
-        return out
+        if labels is None:
+            return {"logits": self.output(h)}
+
+        # Training: the loss reads only text-position logits (shifted past
+        # the image prefix, modeling.py:221-225), so the vocab projection
+        # runs on the L text positions instead of all M+L — at 8 frames
+        # that is a ~25x smaller (seq x vocab) matmul.
+        shifted = self.output(h[:, m:-1, :]).astype(jnp.float32)
+        tgt = labels[:, 1:]
+        valid = tgt != -100
+        tgt_safe = jnp.where(valid, tgt, 0)
+        logp = jax.nn.log_softmax(shifted, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt_safe[..., None],
+                                   axis=-1)[..., 0]
+        loss = (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
+        return {"logits_text": shifted, "loss": loss}
 
     # ---- generation -----------------------------------------------------
 
@@ -282,11 +311,15 @@ class GITForCausalLM(nn.Module):
         m = vis.shape[1]
         txt = self.embed_text(input_ids, jnp.arange(lp)[None, :])
         h = jnp.concatenate([vis, txt], axis=1)
-        bias = git_attention_bias(m, attention_mask, dtype=self.dtype)
+        if self._use_git_flash(m + lp):
+            bias, git_mask = None, (m, attention_mask)
+        else:
+            bias, git_mask = git_attention_bias(
+                m, attention_mask, dtype=self.dtype), None
 
         img_kv, txt_kv = [], []
         for lyr in self.layer:
-            h, (k, v) = lyr.full_with_kv(h, bias=bias)
+            h, (k, v) = lyr.full_with_kv(h, bias=bias, git_mask=git_mask)
             img_kv.append((k[:, :, :m], v[:, :, :m]))
             # text K/V padded out to the full decode budget
             pad = max_text_len - lp
@@ -318,7 +351,7 @@ class GITForCausalLM(nn.Module):
         for i, lyr in enumerate(self.layer):
             k_img, v_img = cache["img_kv"][i]
             k_txt, v_txt = cache["txt_kv"][i]
-            k_new, v_new = lyr.attention.kv(h)           # (B, H, 1, Dh)
+            q, k_new, v_new = lyr.attention.project(h)   # (B, H, 1, Dh)
             sel = onehot[:, None, :, None]
             k_txt = k_txt * (1 - sel) + k_new * sel
             v_txt = v_txt * (1 - sel) + v_new * sel
@@ -329,7 +362,8 @@ class GITForCausalLM(nn.Module):
                  txt_bias.astype(self.dtype)], axis=-1)
             k_all = jnp.concatenate([k_img, k_txt], axis=2)
             v_all = jnp.concatenate([v_img, v_txt], axis=2)
-            h = lyr.step(h, k_all, v_all, bias)
+            h = lyr.attention.finish(h, q, k_all, v_all, bias)
+            h = lyr.ffn(h)
         logits = self.output(h)[:, 0]                    # (B, V)
         cache = dict(cache, txt_kv=new_txt_kv, cur_len=cur + 1)
         return logits, cache

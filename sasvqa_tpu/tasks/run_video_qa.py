@@ -283,6 +283,22 @@ def start_training(cfg) -> Dict[str, Any]:
     if cfg.get("zero_eval"):
         run_validation("zero_")
 
+    # preemption handling: on SIGTERM/SIGINT finish the current step, save
+    # the restore checkpoint, then exit (TPU-VM preemption semantics;
+    # replaces the reference's save_steps_ratio-only coverage, SURVEY §5.3)
+    import signal
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        LOGGER.warning(f"signal {signum}: checkpointing for preemption")
+        preempted["flag"] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except ValueError:  # non-main thread (tests)
+            pass
+
     running_loss = RunningMeter("train_loss")
     dropout_key = jax.random.fold_in(key, 1)
     global_step = int(state.step) // cfg.gradient_accumulation_steps
@@ -319,6 +335,13 @@ def start_training(cfg) -> Dict[str, Any]:
                 res_v, _ = run_validation()
                 last_scores = res_v["scores"]
                 saver.save(global_step, jax.device_get(state.params))
+        if preempted["flag"]:
+            restorer.force_save(int(state.step), state)
+            restorer.wait()
+            LOGGER.info("preemption checkpoint saved; exiting")
+            return {"val": last_scores, "test": {},
+                    "train_loss": running_loss.val,
+                    "global_step": global_step, "preempted": True}
         if global_step >= cfg.num_train_steps:
             break
         if cfg.debug and global_step >= debug_cap:

@@ -1,0 +1,98 @@
+"""GIT-specialized flash kernel vs the dense-bias XLA reference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sasvqa_tpu.models.git import git_attention_bias
+from sasvqa_tpu.ops import git_flash as gf
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    gf.set_interpret_mode(True)
+    yield
+    gf.set_interpret_mode(False)
+
+
+def _xla_ref(q, k, v, bias):
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    s = s + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@pytest.mark.parametrize("num_img,l", [(128, 24), (197, 30), (64, 64)])
+def test_matches_dense_mask(num_img, l):
+    b, h, d = 2, 2, 64
+    s = num_img + l
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+               for _ in range(3))
+    mask = np.ones((b, l), np.int32)
+    mask[0, -5:] = 0   # padding on example 0
+    mask = jnp.asarray(mask)
+
+    out = gf.git_flash_attention(q, k, v, mask, num_img)
+    ref = _xla_ref(q, k, v, git_attention_bias(num_img, mask))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_gradients_match_dense():
+    b, h, num_img, l, d = 1, 2, 128, 16, 64
+    s = num_img + l
+    rng = np.random.default_rng(1)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.ones((b, l), jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(gf.git_flash_attention(q, k, v, mask, num_img) ** 2)
+
+    def loss_ref(q, k, v):
+        bias = git_attention_bias(num_img, mask)
+        return jnp.sum(_xla_ref(q, k, v, bias) ** 2)
+
+    gf_ = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf_, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_model_parity_flash_vs_dense():
+    """GITForCausalLM forced flash == forced dense on the same weights."""
+    from sasvqa_tpu.models.clip import CLIPVisionConfig
+    from sasvqa_tpu.models.git import GITConfig, GITForCausalLM
+
+    vc = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                          num_layers=1, num_heads=4, image_size=64,
+                          patch_size=8)  # 65 img tokens
+    cfg = GITConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                    num_heads=4, intermediate_size=64,
+                    max_position_embeddings=64, vision=vc)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(1, 63, size=(2, 10)), jnp.int32)
+    mask = jnp.asarray([[1] * 10, [1] * 7 + [0] * 3], jnp.int32)
+    px = jnp.asarray(rng.normal(size=(2, 1, 64, 64, 3)), jnp.float32)
+    labels = jnp.where(mask == 1, ids, -100)
+
+    dense = GITForCausalLM(cfg, flash=False)
+    flash = GITForCausalLM(cfg, flash=True)
+    params = jax.jit(dense.init)(jax.random.key(0), ids, mask, px)
+
+    out_d = jax.jit(lambda p: dense.apply(p, ids, mask, px,
+                                          labels=labels))(params)
+    out_f = jax.jit(lambda p: flash.apply(p, ids, mask, px,
+                                          labels=labels))(params)
+    np.testing.assert_allclose(float(out_f["loss"]), float(out_d["loss"]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f["logits_text"]),
+                               np.asarray(out_d["logits_text"]),
+                               atol=1e-4, rtol=1e-3)
