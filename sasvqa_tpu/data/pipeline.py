@@ -31,6 +31,21 @@ def batch_indices(n: int, batch_size: int, shuffle: bool,
     return batches
 
 
+def shard_for_host(indices: np.ndarray,
+                   process_index: Optional[int] = None,
+                   process_count: Optional[int] = None) -> np.ndarray:
+    """Per-host slice of a sample ordering (multi-host input sharding;
+    replaces the reference's DistributedSampler usage, SURVEY.md §5.8).
+
+    Deterministic contiguous-stride split so every host sees a disjoint
+    subset; defaults read jax.process_index()/process_count().
+    """
+    import jax
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return indices[pi::pc]
+
+
 def epoch_batches(dataset, collator, batch_size: int, shuffle: bool,
                   rng: Optional[np.random.Generator] = None,
                   drop_last: bool = False) -> Iterator[Dict[str, Any]]:

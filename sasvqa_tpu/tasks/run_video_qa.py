@@ -321,6 +321,9 @@ def start_training(cfg) -> Dict[str, Any]:
             running_loss(loss)
             TB_LOGGER.global_step = global_step
             TB_LOGGER.add_scalar("train/loss", loss)
+            if "grad_norm" in metrics:
+                TB_LOGGER.add_scalar("train/grad_norm",
+                                     float(metrics["grad_norm"]))
             if "acc_correct" in metrics:
                 total_correct += int(metrics["acc_correct"])
                 total_preds += int(metrics["acc_total"])

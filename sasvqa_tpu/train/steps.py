@@ -46,15 +46,55 @@ _OPTIMIZERS = {
     "sgd": optax.sgd,
 }
 
+# parameter-path name fragments that never get weight decay (the
+# reference's no-decay lists for bias/LayerNorm, optimization/utils.py
+# no_decay convention, generalised to flax param naming)
+NO_DECAY_FRAGMENTS = ("bias", "_ln", "layer_norm", "layernorm", "norm",
+                      "scale", "embedding", "embeddings")
 
-def make_optimizer(cfg, total_steps: int) -> optax.GradientTransformation:
+
+def decay_mask(params) -> Any:
+    """True where weight decay applies (2D+ kernels outside norms)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def decayable(path, leaf):
+        names = [str(getattr(k, "key", k)).lower() for k in path]
+        if any(frag in name for name in names
+               for frag in NO_DECAY_FRAGMENTS):
+            return False
+        return getattr(leaf, "ndim", 0) >= 2
+
+    paths = {tuple(p): decayable(p, l) for p, l in flat}
+
+    def rebuild(path, leaf):
+        return paths[tuple(path)]
+
+    return jax.tree_util.tree_map_with_path(rebuild, params)
+
+
+def lr_mul_mask(params, prefix: str) -> Any:
+    """True for params whose top-level path starts with ``prefix``
+    (reference lr_mul prefix groups, optimization/utils.py:96-153)."""
+    def match(path, leaf):
+        names = [str(getattr(k, "key", k)) for k in path]
+        return any(n.startswith(prefix) for n in names)
+
+    return jax.tree_util.tree_map_with_path(match, params)
+
+
+def make_optimizer(cfg, total_steps: int,
+                   params=None) -> optax.GradientTransformation:
     """optax chain: clip -> optimizer(lr schedule) -> MultiSteps(accum).
 
     Mirrors the live loop's ``getattr(torch.optim, cfg.optim)`` +
-    MultiStepLR (run_video_qa.py:416-422) with optax equivalents.
+    MultiStepLR (run_video_qa.py:416-422).  When ``params`` is given and
+    the optimizer is adamw, weight decay is masked off bias/norm/
+    embedding params (reference no-decay lists); a
+    ``transformer_lr_mul``/``transformer_lr_mul_prefix`` pair scales the
+    LR of a named param subtree (reference lr_mul groups).
     """
     name = str(cfg.optim).lower()
-    steps_per_epoch = max(total_steps // max(cfg.num_train_epochs, 1), 1)
+    steps_per_epoch = max(total_steps // max(cfg.get("num_train_epochs", 1), 1), 1)
     milestones = [m * steps_per_epoch
                   for m in (cfg.get("step_decay_epochs") or [])]
     sched = get_lr_schedule(
@@ -69,12 +109,19 @@ def make_optimizer(cfg, total_steps: int) -> optax.GradientTransformation:
         kwargs.update(b1=float(betas[0]), b2=float(betas[1]))
     if opt_name == "adamw":
         kwargs.update(weight_decay=cfg.get("weight_decay", 1e-3))
+        if params is not None:
+            kwargs.update(mask=decay_mask(params))
     tx = _OPTIMIZERS[opt_name](learning_rate=sched, **kwargs)
 
     chain = []
     if cfg.get("grad_norm", -1) and cfg.grad_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_norm))
     chain.append(tx)
+    lr_mul = cfg.get("transformer_lr_mul", 1.0)
+    prefix = cfg.get("transformer_lr_mul_prefix", "")
+    if params is not None and prefix and lr_mul != 1.0:
+        mask = lr_mul_mask(params, prefix)
+        chain.append(optax.masked(optax.scale(lr_mul), mask))
     out = optax.chain(*chain)
     accum = cfg.get("gradient_accumulation_steps", 1)
     if accum > 1:
@@ -83,7 +130,7 @@ def make_optimizer(cfg, total_steps: int) -> optax.GradientTransformation:
 
 
 def create_train_state(model, params, cfg, total_steps: int) -> TrainState:
-    tx = make_optimizer(cfg, total_steps)
+    tx = make_optimizer(cfg, total_steps, params=params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params), tx=tx,
                       apply_fn=model.apply)
@@ -114,11 +161,13 @@ def make_classifier_train_step(mesh: Optional[Mesh] = None):
 
         (loss, logits), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        gnorm = optax.global_norm(grads)
         state = state.apply_gradients(grads)
         preds = jnp.argmax(logits, axis=-1)
         valid = batch["labels"] != -100
         metrics = {
             "loss": loss,
+            "grad_norm": gnorm,
             "acc_correct": ((preds == batch["labels"]) & valid).sum(),
             "acc_total": valid.sum(),
         }
@@ -142,8 +191,9 @@ def make_git_train_step(mesh: Optional[Mesh] = None):
             return out["loss"]
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        gnorm = optax.global_norm(grads)
         state = state.apply_gradients(grads)
-        return state, {"loss": loss}
+        return state, {"loss": loss, "grad_norm": gnorm}
 
     return _maybe_jit_sharded(step, mesh)
 

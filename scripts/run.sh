@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# MSVD-QA config 1 (GIT-base, 6-frame stored, uniform): equivalent of the
+# reference src/scripts/run.sh but TPU-native (no CUDA_VISIBLE_DEVICES;
+# the mesh uses every visible TPU chip).
+set -euo pipefail
+MODE=${1:-train}
+CFG=configs/msvd_qa_base.json
+if [ "$MODE" = "train" ]; then
+    rm -rf "$(python -c "import json;print(json.load(open('$CFG'))['output_dir'])")"
+    python -m sasvqa_tpu.tasks.run_video_qa --task msvd_qa --config "$CFG"
+else
+    python -m sasvqa_tpu.tasks.run_video_qa --task msvd_qa --config "$CFG" --do_inference 1
+fi

@@ -1,0 +1,68 @@
+"""Host pipeline properties: ordering, determinism, error propagation,
+per-host sharding (SURVEY §5.2 replacement for the reference's
+hand-rolled thread/queue safety)."""
+
+import numpy as np
+import pytest
+
+from sasvqa_tpu.data.pipeline import (DevicePrefetcher, batch_indices,
+                                      shard_for_host)
+
+
+def test_batch_indices_deterministic():
+    a = batch_indices(20, 6, True, np.random.default_rng(7))
+    b = batch_indices(20, 6, True, np.random.default_rng(7))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # covers every index exactly once
+    all_idx = np.concatenate(a)
+    assert sorted(all_idx.tolist()) == list(range(20))
+
+
+def test_batch_indices_drop_last():
+    batches = batch_indices(20, 6, False, None, drop_last=True)
+    assert all(len(b) == 6 for b in batches)
+    assert len(batches) == 3
+
+
+def test_shard_for_host_disjoint_cover():
+    idx = np.arange(21)
+    shards = [shard_for_host(idx, pi, 4) for pi in range(4)]
+    merged = sorted(np.concatenate(shards).tolist())
+    assert merged == list(range(21))
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert not set(shards[i]) & set(shards[j])
+
+
+def test_prefetcher_preserves_order_and_host_keys():
+    def gen():
+        for i in range(5):
+            yield {"x": np.full((2, 3), i, np.float32),
+                   "labels": np.array([i, i]),
+                   "question_ids": [f"q{i}a", f"q{i}b"]}
+
+    out = list(DevicePrefetcher(gen(), mesh=None))
+    assert len(out) == 5
+    for i, (arrays, host) in enumerate(out):
+        assert float(np.asarray(arrays["x"])[0, 0]) == i
+        assert host["question_ids"] == [f"q{i}a", f"q{i}b"]
+
+
+def test_prefetcher_propagates_errors():
+    def gen():
+        yield {"x": np.zeros((2, 2), np.float32)}
+        raise RuntimeError("boom")
+
+    it = DevicePrefetcher(gen(), mesh=None)
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+
+def test_prefetcher_none_passthrough():
+    def gen():
+        yield {"x": np.zeros((2, 2), np.float32), "labels": None}
+
+    arrays, host = next(iter(DevicePrefetcher(gen(), mesh=None)))
+    assert arrays["labels"] is None
