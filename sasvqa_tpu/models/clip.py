@@ -111,6 +111,9 @@ class CLIPVisionEncoder(nn.Module):
     # GIT's vision tower post-LNs every token; plain CLIP only the CLS
     post_ln_all_tokens: bool = False
     with_projection: bool = True
+    # rematerialise each block in backward (ViT-L / many-frame configs
+    # trade ~30% FLOPs for O(layers) activation memory)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, pixels: jax.Array,
@@ -136,10 +139,11 @@ class CLIPVisionEncoder(nn.Module):
         x = x + pos
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="pre_layrnorm")(x)
+        block_cls = nn.remat(PreLNBlock) if self.remat else PreLNBlock
         for i in range(cfg.num_layers):
-            x = PreLNBlock(cfg.num_heads, cfg.intermediate_size,
-                           cfg.hidden_act, cfg.layer_norm_eps,
-                           dtype=self.dtype, name=f"layers_{i}")(x)
+            x = block_cls(cfg.num_heads, cfg.intermediate_size,
+                          cfg.hidden_act, cfg.layer_norm_eps,
+                          dtype=self.dtype, name=f"layers_{i}")(x)
         post_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                                name="post_layernorm")
         if self.post_ln_all_tokens:

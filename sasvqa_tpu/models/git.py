@@ -204,6 +204,7 @@ class GITForCausalLM(nn.Module):
     config: GITConfig
     dtype: jnp.dtype = jnp.float32
     flash: Optional[bool] = None
+    remat: bool = False  # remat the vision tower (many-frame configs)
 
     def _use_git_flash(self, seq_len: int) -> bool:
         if self.flash is not None:
@@ -214,7 +215,7 @@ class GITForCausalLM(nn.Module):
         c = self.config
         self.image_encoder = CLIPVisionEncoder(
             c.vision, dtype=self.dtype, post_ln_all_tokens=True,
-            with_projection=False)
+            with_projection=False, remat=self.remat)
         self.visual_projection = nn.Dense(c.hidden_size, dtype=self.dtype)
         self.visual_projection_ln = nn.LayerNorm(
             epsilon=c.vision.layer_norm_eps, dtype=self.dtype)

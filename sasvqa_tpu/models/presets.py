@@ -115,7 +115,8 @@ def build_model(cfg, dtype=jnp.float32):
             gc = dataclasses.replace(
                 gc, vision=dataclasses.replace(gc.vision,
                                                image_size=img_size))
-        return family, GITForCausalLM(gc, dtype=dtype)
+        remat = bool(cfg.model.get("remat", cfg.get("remat", False)))
+        return family, GITForCausalLM(gc, dtype=dtype, remat=remat)
     raise ValueError(family)
 
 

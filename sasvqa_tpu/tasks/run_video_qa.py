@@ -130,15 +130,22 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
     qa_results = []
     n_ex = 0
     n_dev = mesh.devices.size if mesh is not None else 1
+    # deterministic eval-time frame sampling (policies like 'random'
+    # draw from this seeded rng)
+    eval_rng = np.random.default_rng(cfg.seed)
     for b_idx, batch in enumerate(epoch_batches(
-            dataset, collator, cfg.val_batch_size, shuffle=False)):
+            dataset, collator, cfg.val_batch_size, shuffle=False,
+            rng=eval_rng)):
         question_ids = batch.pop("question_ids")
         batch.pop("n_examples_list", None)
         n_real = len(question_ids)
+        # pad the ragged final batch to the full val_batch_size so eval
+        # compiles exactly one shape (each extra shape costs a compile)
+        pad_to = max(cfg.val_batch_size, n_dev)
         if n_options:
-            batch = _pad_mc_batch(batch, n_dev, n_options)
+            batch = _pad_mc_batch(batch, pad_to, n_options)
         else:
-            batch = pad_batch_to_multiple(batch, n_dev)
+            batch = pad_batch_to_multiple(batch, pad_to)
         batch = {k: v for k, v in batch.items() if v is not None}
         if family == "git":
             generated = np.asarray(eval_step(state, batch))
