@@ -48,9 +48,24 @@ class VideoQADataset:
     def __len__(self) -> int:
         return len(self.datalist)
 
-    def get_group(self, index: int) -> Dict[str, Any]:
+    def get_group(self, index: int, _retries: int = 3) -> Dict[str, Any]:
+        """Corrupted/missing-video handling: substitute a random other
+        group after logging (reference dataset_video_qa.py:58-81 — its
+        retry loop with num_retries=1 effectively raised; here the
+        resample actually happens, bounded by ``_retries``)."""
         vid, examples = self.datalist[index]
-        frames = self.store.read_nhwc(self.vid2id[vid])  # (K, H, W, 3)
+        try:
+            frames = self.store.read_nhwc(self.vid2id[vid])  # (K, H, W, 3)
+        except (KeyError, OSError) as e:
+            if _retries <= 0:
+                raise RuntimeError(
+                    f"failed to fetch video {vid!r} after retries") from e
+            from sasvqa_tpu.core.logging import LOGGER
+            import random as _random
+            LOGGER.warning(f"failed to load video {vid!r} ({e}); "
+                           f"substituting a random group")
+            return self.get_group(_random.randrange(len(self)),
+                                  _retries=_retries - 1)
         exs = [self._single_example(e) for e in examples]
         return dict(vid=frames, examples=exs, n_examples=len(exs),
                     sampled_inds=exs[0].get("sampled_inds"))

@@ -1,0 +1,95 @@
+"""Tokenizer parity vs HF implementations on generated vocab files."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sasvqa_tpu.data.tokenization import (CLIPBPETokenizer,
+                                          WordPieceTokenizer,
+                                          basic_tokenize)
+
+SENTENCES = [
+    "What is the man doing?",
+    "A dog runs, jumps & plays!!",
+    "who is playing the red ball",
+    "HELLO World...",
+]
+
+
+@pytest.fixture(scope="module")
+def wp_vocab_file(tmp_path_factory):
+    words = ("[PAD] [UNK] [CLS] [SEP] [MASK] what is the man doing a dog "
+             "runs jumps plays who playing red ball hello world run "
+             "##s ##ing ##ning ? ! , . & h e l o w r d").split()
+    path = tmp_path_factory.mktemp("tok") / "vocab.txt"
+    path.write_text("\n".join(words) + "\n")
+    return str(path)
+
+
+def test_wordpiece_matches_hf_bert(wp_vocab_file):
+    from transformers import BertTokenizer
+    hf = BertTokenizer(wp_vocab_file, do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(wp_vocab_file)
+    for s in SENTENCES:
+        assert ours.tokenize(s) == hf.tokenize(s), s
+        assert ours.encode(s) == hf.encode(s), s
+    # pair encoding (MIF scoring path)
+    e_ours = ours.encode(SENTENCES[0], text_pair=SENTENCES[2])
+    e_hf = hf.encode(SENTENCES[0], SENTENCES[2])
+    assert e_ours == e_hf
+
+
+def test_wordpiece_decode_roundtrip(wp_vocab_file):
+    ours = WordPieceTokenizer.from_vocab_file(wp_vocab_file)
+    enc = ours(["what is the man doing?"], max_length=16)
+    assert ours.decode(enc["input_ids"][0]) == "what is the man doing ?"
+
+
+@pytest.fixture(scope="module")
+def clip_files(tmp_path_factory):
+    """Tiny but real BPE vocab: characters + some merges."""
+    chars = list("abcdefghijklmnopqrstuvwxyz?!.,&0123456789")
+    vocab = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+        vocab[c + "</w>"] = len(vocab)
+    merges = ["t h", "th e</w>", "i s</w>", "w h", "wh a", "wha t</w>",
+              "d o", "do g</w>", "a n", "an d</w>", "m a", "ma n</w>",
+              "i n", "in g</w>", "n n", "r u", "ru nn", "runn ing</w>"]
+    for m in merges:
+        tok = m.replace(" ", "")
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    d = tmp_path_factory.mktemp("cliptok")
+    vpath, mpath = d / "vocab.json", d / "merges.txt"
+    vpath.write_text(json.dumps(vocab))
+    mpath.write_text("#version: 0.2\n" + "\n".join(merges) + "\n")
+    return str(vpath), str(mpath)
+
+
+def test_clip_bpe_matches_hf(clip_files):
+    from transformers import CLIPTokenizer
+    vpath, mpath = clip_files
+    hf = CLIPTokenizer(vpath, mpath)
+    ours = CLIPBPETokenizer.from_files(vpath, mpath)
+    for s in ["the man is running", "what dog", "a and the", "man?!"]:
+        ref = hf.encode(s)
+        got = ([ours.bos_token_id] + ours.tokenize_ids(s)
+               + [ours.eos_token_id])
+        assert got == ref, (s, got, ref)
+
+
+def test_clip_bpe_padding_and_mask(clip_files):
+    ours = CLIPBPETokenizer.from_files(*clip_files)
+    out = ours(["the dog", "a"], max_length=8)
+    assert out["input_ids"].shape == (2, 8)
+    assert out["attention_mask"][0].sum() >= out["attention_mask"][1].sum()
+    assert out["input_ids"][0, 0] == ours.bos_token_id
+
+
+def test_basic_tokenize_strips_accents():
+    assert basic_tokenize("Héllo, WORLD") == ["hello", ",", "world"]
