@@ -80,10 +80,20 @@ def load_datalist(task_type: str, anno_path: str,
 
 def build_common_answer_dict(anno_files: Sequence[str],
                              k: int = 1000) -> Dict[str, int]:
-    """Top-k train answers -> {answer: label} (run_video_qa.py:189-200)."""
+    """Top-k train answers -> {answer: label} (run_video_qa.py:189-200).
+
+    Handles both JSON (msvd/msrvtt) and JSONL (tgif frameqa) annotation
+    files.
+    """
+    import json as _json
+
     answers: List[str] = []
     for path in anno_files:
-        for qa in load_json(path):
+        try:
+            qa_list = load_json(path)
+        except _json.JSONDecodeError:  # JSONL (tgif) annotation files
+            qa_list = load_jsonl(path)
+        for qa in qa_list:
             answers.append(qa["answer"])
     return {val: i for i, (val, _) in enumerate(Counter(answers).most_common(k))}
 

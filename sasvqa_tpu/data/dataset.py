@@ -7,10 +7,12 @@ outputs:
 - text padded to a fixed ``max_txt_len`` bucket (the reference pads
   per-batch, which would recompile XLA per length — SURVEY.md §7.4#6);
 - frames re-sampled on the host by sampling/policies.py, producing a
-  static (B, T, H, W, C) tensor;
-- groups with >1 example repeat their frames per example on the host,
-  removing the reference's ragged ``repeat_counts`` device logic
-  (modeling.py:431-441).
+  static (B_videos, T, H, W, C) tensor;
+- groups with >1 example keep ONE copy of the video; the models repeat
+  the per-frame *embeddings* post-encoder (inferred from the
+  text/video batch ratio), replacing the reference's ragged
+  ``repeat_counts`` device logic (modeling.py:431-441) without
+  re-encoding duplicated frames.
 """
 
 from __future__ import annotations
@@ -105,10 +107,15 @@ def _flatten_examples(items: List[Dict[str, Any]]):
     return examples, n_examples
 
 
-def _repeat_rows(visual: np.ndarray, n_examples: Sequence[int]) -> np.ndarray:
-    if all(n == 1 for n in n_examples):
-        return visual
-    return np.repeat(visual, np.asarray(n_examples), axis=0)
+def _check_uniform_groups(n_examples: Sequence[int]) -> None:
+    """Groups must be uniformly sized (chunk_list pads the last chunk,
+    annotations.py) so the model can infer the video->example repeat
+    factor from shapes and repeat *embeddings* post-encoder instead of
+    re-encoding duplicated frames."""
+    if len(set(n_examples)) > 1:
+        raise ValueError(
+            f"non-uniform group sizes {sorted(set(n_examples))}; "
+            "mk_input_group with pad_to_divisible produces uniform groups")
 
 
 class ClassifierCollator:
@@ -133,7 +140,7 @@ class ClassifierCollator:
                  ) -> Dict[str, Any]:
         visual = _resample_frames(items, self.samp_policy, self.nframe, rng)
         examples, n_examples = _flatten_examples(items)
-        visual = _repeat_rows(visual, n_examples)
+        _check_uniform_groups(n_examples)
 
         if self.task_type in ("action", "transition"):
             texts = [f"{d['q_str']} {d['options_str_list'][i]}"
@@ -187,7 +194,7 @@ class GITCollator:
                  ) -> Dict[str, Any]:
         visual = _resample_frames(items, self.samp_policy, self.nframe, rng)
         examples, n_examples = _flatten_examples(items)
-        visual = _repeat_rows(visual, n_examples)
+        _check_uniform_groups(n_examples)
         tok = self.tokenizer
         b = len(examples)
 

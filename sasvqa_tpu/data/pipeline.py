@@ -85,6 +85,7 @@ class DevicePrefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._src = it
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
@@ -103,11 +104,36 @@ class DevicePrefetcher:
     def _work(self):
         try:
             for batch in self._src:
-                self._q.put(self._stage(batch))
+                staged = self._stage(batch)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(staged, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         except BaseException as e:  # surface in consumer thread
             self._err = e
         finally:
-            self._q.put(_SENTINEL)
+            try:
+                self._q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass
+
+    def close(self):
+        """Stop the producer and release the staged device batches.
+
+        Consumers that break out of the iteration early (fixed-step
+        training loops) must call this, otherwise up to ``depth`` fully
+        staged batches stay pinned in device memory."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5)
 
     def __iter__(self):
         return self

@@ -114,15 +114,31 @@ class WordPieceTokenizer:
         return out
 
     def encode(self, text: str, text_pair: Optional[str] = None,
-               add_special_tokens: bool = True) -> List[int]:
+               add_special_tokens: bool = True,
+               max_length: Optional[int] = None) -> List[int]:
+        """HF-style 'longest_first' truncation: content tokens drop
+        before special tokens, so the [CLS]/[SEP] structure survives."""
         ids = [self.vocab.get(t, self.unk_token_id)
                for t in self.tokenize(text)]
         if not add_special_tokens:
-            return ids
-        out = [self.cls_token_id] + ids + [self.sep_token_id]
+            return ids if max_length is None else ids[:max_length]
+        pair = None
         if text_pair is not None:
             pair = [self.vocab.get(t, self.unk_token_id)
                     for t in self.tokenize(text_pair)]
+        if max_length is not None:
+            n_special = 2 + (1 if pair is not None else 0)
+            budget = max(max_length - n_special, 0)
+            if pair is None:
+                ids = ids[:budget]
+            else:
+                while len(ids) + len(pair) > budget:
+                    if len(ids) >= len(pair):
+                        ids = ids[:-1]
+                    else:
+                        pair = pair[:-1]
+        out = [self.cls_token_id] + ids + [self.sep_token_id]
+        if pair is not None:
             out += pair + [self.sep_token_id]
         return out
 
@@ -134,7 +150,8 @@ class WordPieceTokenizer:
         mask = np.zeros((b, max_length), dtype=np.int32)
         for i, text in enumerate(texts):
             pair = text_pairs[i] if text_pairs is not None else None
-            enc = self.encode(text, pair, add_special_tokens)[:max_length]
+            enc = self.encode(text, pair, add_special_tokens,
+                              max_length=max_length)
             ids[i, :len(enc)] = enc
             mask[i, :len(enc)] = 1
         return {"input_ids": ids, "attention_mask": mask}
@@ -186,9 +203,11 @@ class CLIPBPETokenizer:
     CLIP checkpoint directory.
     """
 
+    # unicode-aware approximation of HF's \p{L}+ | \p{N} | punctuation-run
+    # ([^\W\d_]+ == unicode letters; underscore routed to the symbol run)
     _PAT = re.compile(
         r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-        r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+", re.IGNORECASE)
+        r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+", re.IGNORECASE | re.UNICODE)
 
     def __init__(self, vocab: Dict[str, int], merges: List[str]):
         self.encoder = vocab

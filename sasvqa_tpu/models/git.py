@@ -263,7 +263,11 @@ class GITForCausalLM(nn.Module):
         (B, M+L, V) and, when labels given, scalar ``loss``.
         """
         b, l = input_ids.shape
-        vis = self.encode_frames(pixel_values)          # (B, M, D)
+        vis = self.encode_frames(pixel_values)          # (Bv, M, D)
+        # groups with >1 example share one video: repeat encoded prefix
+        # (post-encoder, so the ViT runs once per video)
+        if vis.shape[0] != b:
+            vis = jnp.repeat(vis, b // vis.shape[0], axis=0)
         m = vis.shape[1]
         txt = self.embed_text(input_ids, jnp.arange(l)[None, :],
                               deterministic=deterministic)
@@ -278,7 +282,7 @@ class GITForCausalLM(nn.Module):
                     git_mask=git_mask)
 
         if labels is None:
-            return {"logits": self.output(h)}
+            return {"logits": self.output(h).astype(jnp.float32)}
 
         # Training: the loss reads only text-position logits (shifted past
         # the image prefix, modeling.py:221-225), so the vocab projection
@@ -309,6 +313,8 @@ class GITForCausalLM(nn.Module):
         attention_mask = (jnp.arange(lp)[None, :]
                           < prompt_len[:, None]).astype(jnp.int32)
         vis = self.encode_frames(pixel_values)
+        if vis.shape[0] != b:
+            vis = jnp.repeat(vis, b // vis.shape[0], axis=0)
         m = vis.shape[1]
         txt = self.embed_text(input_ids, jnp.arange(lp)[None, :])
         h = jnp.concatenate([vis, txt], axis=1)
@@ -326,7 +332,7 @@ class GITForCausalLM(nn.Module):
             pad = max_text_len - lp
             txt_kv.append((jnp.pad(k[:, :, m:], ((0, 0), (0, 0), (0, pad), (0, 0))),
                            jnp.pad(v[:, :, m:], ((0, 0), (0, 0), (0, pad), (0, 0)))))
-        logits = self.output(h[:, m:])                   # (B, Lp, V)
+        logits = self.output(h[:, m:]).astype(jnp.float32)  # (B, Lp, V)
         # logits at each prompt's last token predict the first new token
         last = jnp.take_along_axis(
             logits, (prompt_len - 1)[:, None, None].repeat(
@@ -365,7 +371,9 @@ class GITForCausalLM(nn.Module):
             v_all = jnp.concatenate([v_img, v_txt], axis=2)
             h = lyr.attention.finish(h, q, k_all, v_all, bias)
             h = lyr.ffn(h)
-        logits = self.output(h)[:, 0]                    # (B, V)
+        # f32 logits: greedy argmax over a 30k vocab at bf16 precision
+        # can flip near-tied tokens (repo convention: logits are f32)
+        logits = self.output(h)[:, 0].astype(jnp.float32)  # (B, V)
         cache = dict(cache, txt_kv=new_txt_kv, cur_len=cur + 1)
         return logits, cache
 

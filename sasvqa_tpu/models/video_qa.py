@@ -89,9 +89,15 @@ class CLIPVideoQA(nn.Module):
                  pixel_values: jax.Array,
                  labels: Optional[jax.Array] = None,
                  deterministic: bool = True) -> Dict[str, jax.Array]:
-        """input_ids (B, L); pixel_values (B, T, H, W, C)."""
+        """input_ids (B, L); pixel_values (Bv, T, H, W, C) with B a
+        multiple of Bv (grouped examples share a video; the per-frame
+        embeddings repeat post-encoder so the ViT runs once per video —
+        reference repeat_counts semantics, modeling.py:439-441)."""
         txt_hidden, _ = self.txt_model(input_ids, attention_mask)
         vis = self.encode_video(pixel_values)
+        if vis.shape[0] != input_ids.shape[0]:
+            vis = jnp.repeat(vis, input_ids.shape[0] // vis.shape[0],
+                             axis=0)
         logits = self.answer_head(txt_hidden, attention_mask, vis,
                                   deterministic=deterministic)
         out = {"logits": logits}
@@ -176,8 +182,10 @@ class BLIPVideoQA(nn.Module):
                  pixel_values: jax.Array,
                  labels: Optional[jax.Array] = None,
                  deterministic: bool = True) -> Dict[str, jax.Array]:
+        repeat = input_ids.shape[0] // pixel_values.shape[0]
         txt_hidden, vis = self._encode(pixel_values, input_ids,
-                                       attention_mask, deterministic)
+                                       attention_mask, deterministic,
+                                       repeat=repeat)
         logits = self.answer_head(txt_hidden, attention_mask, vis,
                                   deterministic=deterministic)
         out = {"logits": logits}

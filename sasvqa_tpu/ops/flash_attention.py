@@ -108,21 +108,19 @@ def _flash_forward(q, k, v, bias, bq: int, bk: int):
     bias_spec = ()
     if bias is not None:
         bb, bh_, blq, blk = bias.shape
-        bias_f = jnp.broadcast_to(bias, (bb, bh_, lq, lk)) \
-            if blq != lq or blk != lk else bias
-        bias_f = jnp.broadcast_to(bias_f, (bb, bh_, lq, lk))
+        assert bb in (1, b) and bh_ in (1, h), (
+            f"bias leading dims {(bb, bh_)} not broadcastable to {(b, h)}")
+        bias_f = jnp.broadcast_to(bias, (bb, bh_, lq, lk))
         bias_f = _pad_to(_pad_to(bias_f, 3, bk, NEG_INF), 2, bq)
-        # collapse to (B*H or B or 1, Lq_p, Lk_p) keyed by bh index map
+        # collapse to (bb*bh_, Lq_p, Lk_p); index by the ORIGINAL leading
+        # dims so (1, H, ...) / (B, 1, ...) / (B, H, ...) / (1, 1, ...)
+        # all resolve correctly even when H == B
         bias_f = bias_f.reshape(bb * bh_, lq_p, lk_p)
-        nb = bias_f.shape[0]
 
-        def bias_index(bh_i, qi):
-            # map program's bh in [0, B*H) onto the bias's leading dim
-            if nb == b * h:
-                return (bh_i, qi, 0)
-            if nb == b:  # per-batch bias, shared across heads
-                return (bh_i // h, qi, 0)
-            return (0, qi, 0)
+        def bias_index(bh_i, qi, bb=bb, bh_=bh_, h=h):
+            batch_part = (bh_i // h) if bb != 1 else 0
+            head_part = (bh_i % h) if bh_ != 1 else 0
+            return (batch_part * bh_ + head_part, qi, 0)
 
         bias_arg = (bias_f,)
         bias_spec = (pl.BlockSpec((1, bq, lk_p), bias_index,

@@ -73,14 +73,17 @@ def score_question_captions(score_fn: Callable[..., jax.Array],
 def generate_inds_for_split(score_fn, tokenizer,
                             qa_list: List[dict],
                             all_captions: Dict[str, List[str]],
-                            vid_key: str, qid_template: str,
+                            caption_key_fn: Callable[[dict], str],
                             k: int, ds_rate: int = 1,
                             max_length: int = 64) -> List[dict]:
-    """Full stage-2 pass over one split (gen_sample.py:67-94)."""
+    """Full stage-2 pass over one split (gen_sample.py:67-94).
+
+    ``caption_key_fn(sample)`` maps a QA sample to its key in
+    ``all_captions`` (the tools key captions by h5 row via vidmapping).
+    """
     out = []
     for sample in qa_list:
-        query_id = qid_template.format(sample[vid_key])
-        captions = all_captions[query_id]
+        captions = all_captions[caption_key_fn(sample)]
         scores = score_question_captions(
             score_fn, tokenizer, sample["question"], captions, max_length)
         sample = dict(sample)

@@ -192,6 +192,10 @@ def start_training(cfg) -> Dict[str, Any]:
     if is_mc:
         # MC answers are option indices; identity label map
         ans2label = {i: i for i in range(cfg.num_labels)}
+    elif cfg.get("ans2label_path"):
+        # precomputed vocab (frameqa's 1540-answer file, config.py:305)
+        from sasvqa_tpu.utils.basic import load_json as _lj
+        ans2label = _lj(cfg.ans2label_path)
     else:
         # answer vocab from the train split, k=1000 (run_video_qa.py:205-208)
         anno_files = (cfg.train_datasets[0].txt,)
@@ -199,6 +203,10 @@ def start_training(cfg) -> Dict[str, Any]:
 
     from sasvqa_tpu.models.video_qa import model_family
     family = model_family(cfg.model.pretrained_model)
+    if is_mc and family == "git":
+        raise ValueError(
+            "action/transition multiple-choice requires a clip/blip "
+            "model; the GIT generative path has no MC scoring head")
     tokenizer = build_tokenizer(cfg, family)
 
     train_ds, val_ds, test_ds = setup_datasets(cfg, ans2label)
@@ -346,6 +354,7 @@ def start_training(cfg) -> Dict[str, Any]:
                 last_scores = res_v["scores"]
                 saver.save(global_step, jax.device_get(state.params))
         if preempted["flag"]:
+            prefetch.close()
             restorer.force_save(int(state.step), state)
             restorer.wait()
             LOGGER.info("preemption checkpoint saved; exiting")
@@ -357,6 +366,7 @@ def start_training(cfg) -> Dict[str, Any]:
         if cfg.debug and global_step >= debug_cap:
             break
 
+    prefetch.close()  # release staged device batches before final eval
     res_v, res_t = run_validation("final_")
     saver.wait()
     restorer.wait()

@@ -27,8 +27,7 @@ from sasvqa_tpu.core.logging import LOGGER
 from sasvqa_tpu.data.frame_store import FrameStoreReader
 from sasvqa_tpu.data.tokenization import (WordPieceTokenizer,
                                           make_test_wordpiece)
-from sasvqa_tpu.sampling.mif import (generate_inds_for_split,
-                                     topk_downsampled)
+from sasvqa_tpu.sampling.mif import generate_inds_for_split
 from sasvqa_tpu.utils.basic import load_json, save_json
 
 
@@ -112,49 +111,38 @@ def run_gen_inds(args) -> None:
         params = {"params": merged}
         LOGGER.info(f"scorer: loaded {len(report['loaded'])} tensors")
 
-    score_fn = jax.jit(lambda ids, mask: model.apply(params, ids, mask))
-
     cap_file = os.path.join(args.anno_dir, "frame_captions.json")
     all_captions = load_json(cap_file)
 
     if args.dataset == "msvd_qa":
-        vid_name, qid_temp = "video", "video{}"
+        vid_name = "video"          # '<id>.avi'
     elif args.dataset == "msrvtt_qa":
-        vid_name, qid_temp = "video_id", "{}"
+        vid_name = "video_id"       # int <id>, stored file 'video<id>.*'
     else:
         raise ValueError("supported datasets: msvd_qa, msrvtt_qa")
 
-    # msvd annotations carry '<id>.avi'; captions are keyed by h5 row via
-    # vidmapping — translate through the mapping when available
+    # captions are keyed by h5 row (run_gen_cap); translate annotation
+    # video ids through vidmapping (video-id -> row)
     vid2row = None
     if args.vid_mapping and os.path.exists(args.vid_mapping):
         vid2row = load_json(args.vid_mapping)
 
+    def caption_key(sample):
+        raw = sample[vid_name]
+        vid_id = (str(raw).split(".")[0] if args.dataset == "msvd_qa"
+                  else f"video{raw}")
+        if vid2row is not None and vid_id in vid2row:
+            return str(vid2row[vid_id])
+        return vid_id
+
+    score = jax.jit(lambda ids, mask: model.apply(params, ids, mask))
     for split in ("train", "val", "test"):
         read_file = os.path.join(args.anno_dir, f"qa_{split}.json")
         if not os.path.exists(read_file):
             continue
-        ds = load_json(read_file)
-        new_ds = []
-        for sample in ds:
-            raw_vid = sample[vid_name]
-            if vid2row is not None:
-                key = str(raw_vid).split(".")[0]
-                row = vid2row.get(key, vid2row.get(str(raw_vid)))
-                cap_key = str(row)
-            else:
-                cap_key = qid_temp.format(raw_vid)
-            captions = all_captions[cap_key]
-            enc = tok([sample["question"]] * len(captions),
-                      max_length=args.max_length,
-                      text_pairs=list(captions))
-            logits = score_fn(jnp.asarray(enc["input_ids"]),
-                              jnp.asarray(enc["attention_mask"]))
-            scores = np.asarray(logits[:, 0])
-            sample = dict(sample)
-            sample["sampled_inds"] = topk_downsampled(
-                scores, args.K, args.ds_rate)
-            new_ds.append(sample)
+        new_ds = generate_inds_for_split(
+            score, tok, load_json(read_file), all_captions, caption_key,
+            k=args.K, ds_rate=args.ds_rate, max_length=args.max_length)
         out_file = os.path.join(args.anno_dir, f"qa_winds_{split}.json")
         save_json(new_ds, out_file)
         LOGGER.info(f"wrote {out_file} ({len(new_ds)} samples)")
