@@ -99,6 +99,45 @@ def make_synthetic_dataset(root: str, task: str = "msvd_qa",
     return paths
 
 
+def make_synthetic_frameqa_dataset(root: str, num_videos: int = 4,
+                                   stored_frames: int = 8, img_hw: int = 32,
+                                   seed: int = 0) -> Dict[str, str]:
+    """TGIF frameqa fixtures: JSONL open-ended annotations with the
+    frameqa answer types (object/number/color/location)."""
+    from sasvqa_tpu.utils.basic import save_jsonl
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    video_ids = [f"gif{i:04d}" for i in range(num_videos)]
+    h5_path = os.path.join(root, "frameqa_video_feat.h5")
+    with FrameStoreWriter(h5_path, num_videos, stored_frames,
+                          img_hw) as writer:
+        for i in range(num_videos):
+            writer.write(i, make_video_frames(i, stored_frames, img_hw)
+                         .transpose(0, 3, 1, 2))
+    map_path = os.path.join(root, "vidmapping.json")
+    save_vidmapping(video_ids, map_path)
+
+    types = ["object", "number", "color", "location"]
+    type_answers = {"object": ["ball", "dog"], "number": ["2", "3"],
+                    "color": ["red", "blue"], "location": ["room", "park"]}
+    paths = {"h5": h5_path, "vidmapping": map_path}
+    for split in ("train", "val", "test"):
+        annos: List[dict] = []
+        for i, vid in enumerate(video_ids):
+            for q in range(2):
+                at = types[(i + q) % len(types)]
+                annos.append(dict(
+                    gif_name=vid,
+                    question=f"what {at} is in the video ?",
+                    answer=type_answers[at][(i + q) % 2],
+                    answer_type=at))
+        p = os.path.join(root, f"frameqa_{split}.jsonl")
+        save_jsonl(annos, p)
+        paths[split] = p
+    return paths
+
+
 def make_synthetic_mc_dataset(root: str, task: str = "action",
                               num_videos: int = 6, stored_frames: int = 8,
                               img_hw: int = 32, n_options: int = 5,

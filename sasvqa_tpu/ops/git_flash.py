@@ -1,16 +1,21 @@
-"""GIT-mask-specialized Pallas flash attention.
+"""GIT-mask-specialized Pallas flash attention — forward AND backward.
 
 The GIT combined mask (image rows attend image cols only; text rows
 attend image cols + causal text cols, minus text padding — HF
 GitModel.create_attention_mask semantics) is a pure function of
 (num_img, text padding mask).  The generic path materialises it as a
 (B, 1, S, S) additive bias — 86 MB of HBM traffic per layer at
-B=8, S=1640.  This kernel reconstructs the mask from a (B, S) column
-validity vector + index arithmetic inside VMEM, so per-layer mask
-traffic drops from O(B*S^2) to O(B*S).
+B=8, S=1640, and the XLA backward additionally materialises the
+(B, H, S, S) probability matrix (~1 GB f32 per layer).  These kernels
+reconstruct the mask from a (B, S) column-validity vector + index
+arithmetic inside VMEM and run the standard flash recurrences:
 
-Backward recomputes with the dense XLA path (the bias exists only as a
-transient there).
+- forward: online softmax, emits the output and the per-row logsumexp;
+- backward: two passes sharing the forward's LSE —
+  dQ over query blocks, dK/dV over key blocks — with
+  ``dS = P * (dO V^T - rowsum(dO*O))``; no S x S tensor ever exists.
+
+Mask arithmetic is all-f32 (Mosaic rejects i1 vector logic ops).
 """
 
 from __future__ import annotations
@@ -28,6 +33,13 @@ NEG_INF = -1e9
 DEFAULT_BQ = 128
 DEFAULT_BK = 128
 
+# Below this sequence length the XLA dense-recompute backward wins (its
+# big materialised matmuls beat the blockwise kernels' small ones on the
+# MXU; measured 36 vs 31 qa/s at S=1640 on v5e).  Above it the dense
+# backward's O(B*H*S^2) f32 transients (6.6 GB/layer at S=4144) make the
+# Pallas backward the only sane option.
+PALLAS_BWD_MIN_SEQ = 2048
+
 _INTERPRET = False
 
 
@@ -36,32 +48,32 @@ def set_interpret_mode(on: bool) -> None:
     _INTERPRET = on
 
 
-def _kernel(colmask_ref, q_ref, k_ref, v_ref, o_ref, *, bk: int,
-            scale: float, num_img: int, num_heads: int):
-    """grid = (B*H, nq).  colmask_ref: (1, S_pad) f32 col validity
-    (1 = attendable text/img col, 0 = padded text col or seq padding)."""
+def _mask_ok(rows, cols, cm, num_img):
+    """f32 validity (BQ, BK): 1 = attendable."""
+    col_img = jnp.where(cols < num_img, 1.0, 0.0)
+    causal = jnp.where(cols <= rows, 1.0, 0.0)
+    text_ok = jnp.maximum(col_img, causal * cm)
+    return jnp.where(rows >= num_img, text_ok, col_img)
+
+
+def _fwd_kernel(colmask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                bk: int, scale: float, num_img: int):
+    """grid = (B*H, nq)."""
     qi = pl.program_id(1)
     bq = q_ref.shape[1]
     q = q_ref[0].astype(jnp.float32) * scale          # (BQ, Dh)
     lk = k_ref.shape[1]
-    nblocks = lk // bk
-
     rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
 
     def body(i, carry):
         m_run, l_run, acc = carry
         k = k_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (BQ, BK)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         cols = i * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        # all-f32 mask arithmetic (Mosaic rejects i1 vector logic ops)
-        cm = colmask_ref[0, :, pl.ds(i * bk, bk)]              # (1, BK) f32
-        col_img = jnp.where(cols < num_img, 1.0, 0.0)
-        causal = jnp.where(cols <= rows, 1.0, 0.0)
-        text_ok = jnp.maximum(col_img, causal * cm)            # (BQ, BK)
-        ok = jnp.where(rows >= num_img, text_ok, col_img)
+        cm = colmask_ref[0, :, pl.ds(i * bk, bk)]      # (1, BK) f32
+        ok = _mask_ok(rows, cols, cm, num_img)
         s = s + (ok - 1.0) * (-NEG_INF)
         m_blk = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_run, m_blk)
@@ -76,52 +88,136 @@ def _kernel(colmask_ref, q_ref, k_ref, v_ref, o_ref, *, bk: int,
     m0 = jnp.full((bq,), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
     acc0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
-    m_run, l_run, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
+    m_run, l_run, acc = jax.lax.fori_loop(0, lk // bk, body, (m0, l0, acc0))
     safe_l = jnp.where(l_run == 0.0, 1.0, l_run)
     o_ref[0] = (acc / safe_l[:, None]).astype(o_ref.dtype)
+    lse_ref[0, 0, :] = m_run + jnp.log(safe_l)
 
 
-def _dense_bias(num_img: int, attention_mask: jax.Array,
-                dtype=jnp.float32) -> jax.Array:
-    from sasvqa_tpu.models.git import git_attention_bias
-    return git_attention_bias(num_img, attention_mask, dtype=dtype)
+def _dq_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+               dq_ref, *, bk: int, scale: float, num_img: int):
+    """grid = (B*H, nq): dQ for one query block."""
+    qi = pl.program_id(1)
+    bq = q_ref.shape[1]
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0, :]                             # (BQ,)
+    d_row = jnp.sum(do * o, axis=-1)                   # (BQ,)
+    lk = k_ref.shape[1]
+    rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+
+    def body(i, dq_acc):
+        k = k_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        cols = i * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        cm = colmask_ref[0, :, pl.ds(i * bk, bk)]
+        ok = _mask_ok(rows, cols, cm, num_img)
+        s = s + (ok - 1.0) * (-NEG_INF)
+        p = jnp.exp(s - lse[:, None])                  # (BQ, BK)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - d_row[:, None])
+        return dq_acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
+    dq = jax.lax.fori_loop(0, lk // bk, body, dq0)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
-def _forward(q, k, v, attention_mask, num_img, bq, bk):
+def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                dk_ref, dv_ref, *, bq: int, scale: float, num_img: int):
+    """grid = (B*H, nk): dK/dV for one key block."""
+    ki = pl.program_id(1)
+    bk = k_ref.shape[1]
+    k = k_ref[0].astype(jnp.float32)                   # (BK, Dh)
+    v = v_ref[0].astype(jnp.float32)
+    lq = q_ref.shape[1]
+    cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    cm = colmask_ref[0, :, pl.ds(ki * bk, bk)]         # (1, BK)
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
+        o = o_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * bq, bq)]         # (BQ,)
+        d_row = jnp.sum(do * o, axis=-1)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        rows = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        ok = _mask_ok(rows, cols, cm, num_img)
+        s = s + (ok - 1.0) * (-NEG_INF)
+        p = jnp.exp(s - lse[:, None])                  # (BQ, BK)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (BK, Dh)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - d_row[:, None])                 # (BQ, BK)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (BK, Dh)
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((bk, k.shape[1]), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, lq // bq, body, (z, z))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _prepare(q, k, v, attention_mask, num_img, bq, bk):
     b, h, s, dh = q.shape
     s_pad = s + ((-s) % max(bq, bk))
     pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
     qp = pad(q).reshape(b * h, s_pad, dh)
     kp = pad(k).reshape(b * h, s_pad, dh)
     vp = pad(v).reshape(b * h, s_pad, dh)
-
-    l = attention_mask.shape[1]
     colmask = jnp.concatenate(
         [jnp.ones((b, num_img), jnp.float32),
          attention_mask.astype(jnp.float32),
-         jnp.zeros((b, s_pad - s), jnp.float32)], axis=1)  # (B, S_pad)
-    # (B, 1, S_pad): TPU blocks need the 2nd-to-last dim to match the array
-    colmask = colmask[:, None, :]
+         jnp.zeros((b, s_pad - s), jnp.float32)], axis=1)[:, None, :]
+    return qp, kp, vp, colmask, s_pad
 
-    grid = (b * h, s_pad // bq)
-    out = pl.pallas_call(
-        functools.partial(_kernel, bk=bk, scale=dh ** -0.5,
-                          num_img=num_img, num_heads=h),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, s_pad),
-                         lambda bh_i, qi, h=h: (bh_i // h, 0, 0),
-                         memory_space=pltpu.VMEM),
+
+def _specs(bq_blk, s_pad, dh, h):
+    """(colmask, q, k, v) input specs shared by fwd/dq; block over dim 1
+    of the first tensor arg with width bq_blk."""
+    return [
+        pl.BlockSpec((1, 1, s_pad), lambda bh_i, qi, h=h: (bh_i // h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq_blk, dh), lambda bh_i, qi: (bh_i, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_pad, dh), lambda bh_i, qi: (bh_i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_pad, dh), lambda bh_i, qi: (bh_i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _forward(q, k, v, attention_mask, num_img, bq, bk):
+    b, h, s, dh = q.shape
+    qp, kp, vp, colmask, s_pad = _prepare(q, k, v, attention_mask,
+                                          num_img, bq, bk)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, bk=bk, scale=dh ** -0.5,
+                          num_img=num_img),
+        grid=(b * h, s_pad // bq),
+        in_specs=_specs(bq, s_pad, dh, h),
+        out_specs=(
             pl.BlockSpec((1, bq, dh), lambda bh_i, qi: (bh_i, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, dh), lambda bh_i, qi: (bh_i, 0, 0),
+            pl.BlockSpec((1, 1, bq), lambda bh_i, qi: (bh_i, 0, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, dh), lambda bh_i, qi: (bh_i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, bq, dh), lambda bh_i, qi: (bh_i, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, dh), q.dtype),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, s_pad, dh), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, s_pad), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s_pad * s_pad * dh,
             bytes_accessed=3 * qp.size * qp.dtype.itemsize,
@@ -129,7 +225,53 @@ def _forward(q, k, v, attention_mask, num_img, bq, bk):
         ),
         interpret=_INTERPRET,
     )(colmask, qp, kp, vp)
-    return out.reshape(b, h, s_pad, dh)[:, :, :s, :]
+    return out.reshape(b, h, s_pad, dh)[:, :, :s, :], (qp, kp, vp, colmask,
+                                                       out, lse, s_pad)
+
+
+def _backward(res, g, num_img, bq, bk, b, h, s, dh):
+    qp, kp, vp, colmask, outp, lse, s_pad = res
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+                 ).reshape(b * h, s_pad, dh)
+
+    full = lambda: pl.BlockSpec((1, s_pad, dh),
+                                lambda bh_i, i: (bh_i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    blk = lambda: pl.BlockSpec((1, bq, dh), lambda bh_i, i: (bh_i, i, 0),
+                               memory_space=pltpu.VMEM)
+    cm_spec = pl.BlockSpec((1, 1, s_pad), lambda bh_i, i, h=h:
+                           (bh_i // h, 0, 0), memory_space=pltpu.VMEM)
+    lse_blk = pl.BlockSpec((1, 1, bq), lambda bh_i, i: (bh_i, 0, i),
+                           memory_space=pltpu.VMEM)
+    lse_full = pl.BlockSpec((1, 1, s_pad), lambda bh_i, i: (bh_i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, bk=bk, scale=dh ** -0.5,
+                          num_img=num_img),
+        grid=(b * h, s_pad // bq),
+        in_specs=[cm_spec, blk(), full(), full(), blk(), blk(), lse_blk],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, dh), qp.dtype),
+        interpret=_INTERPRET,
+    )(colmask, qp, kp, vp, gp, outp, lse)
+
+    kblk = lambda: pl.BlockSpec((1, bk, dh), lambda bh_i, i: (bh_i, i, 0),
+                                memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, bq=bq, scale=dh ** -0.5,
+                          num_img=num_img),
+        grid=(b * h, s_pad // bk),
+        in_specs=[cm_spec, full(), kblk(), kblk(), full(), full(),
+                  lse_full],
+        out_specs=(kblk(), kblk()),
+        out_shape=(jax.ShapeDtypeStruct((b * h, s_pad, dh), kp.dtype),
+                   jax.ShapeDtypeStruct((b * h, s_pad, dh), vp.dtype)),
+        interpret=_INTERPRET,
+    )(colmask, qp, kp, vp, gp, outp, lse)
+
+    unpad = lambda x: x.reshape(b, h, s_pad, dh)[:, :, :s, :]
+    return unpad(dq), unpad(dk), unpad(dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -140,25 +282,37 @@ def git_flash_attention(q, k, v, attention_mask, num_img: int,
 
     attention_mask: (B, L) text padding mask with S = num_img + L.
     """
-    return _forward(q, k, v, attention_mask, num_img, block_q, block_k)
+    out, _ = _forward(q, k, v, attention_mask, num_img, block_q, block_k)
+    return out
 
 
 def _fwd(q, k, v, attention_mask, num_img, block_q, block_k):
-    out = _forward(q, k, v, attention_mask, num_img, block_q, block_k)
-    return out, (q, k, v, attention_mask)
+    out, res = _forward(q, k, v, attention_mask, num_img, block_q, block_k)
+    return out, (res, q.shape)
 
 
-def _bwd(num_img, block_q, block_k, res, g):
-    q, k, v, attention_mask = res
-    bias = _dense_bias(num_img, attention_mask, dtype=jnp.float32)
+def _bwd(num_img, block_q, block_k, packed, g):
+    res, (b, h, s, dh) = packed
+    if s >= PALLAS_BWD_MIN_SEQ:
+        dq, dk, dv = _backward(res, g, num_img, block_q, block_k,
+                               b, h, s, dh)
+        return dq, dk, dv, None
+    # short-seq: XLA dense recompute is faster (see PALLAS_BWD_MIN_SEQ)
+    qp, kp, vp, colmask, _outp, _lse, s_pad = res
+    unpad = lambda x: x.reshape(b, h, s_pad, dh)[:, :, :s, :]
+    q, k, v = unpad(qp), unpad(kp), unpad(vp)
+    attention_mask = colmask[:, 0, num_img:s].astype(jnp.int32)
+    from sasvqa_tpu.models.git import git_attention_bias
+    bias = git_attention_bias(num_img, attention_mask, dtype=jnp.float32)
 
     def f(q, k, v):
         scale = q.shape[-1] ** -0.5
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                       preferred_element_type=jnp.float32) * scale + bias
-        p = jax.nn.softmax(s, axis=-1)
+        s_ = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale + bias
+        p = jax.nn.softmax(s_, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v,
-                          preferred_element_type=jnp.float32).astype(q.dtype)
+                          preferred_element_type=jnp.float32
+                          ).astype(q.dtype)
 
     _, vjp = jax.vjp(f, q, k, v)
     dq, dk, dv = vjp(g)

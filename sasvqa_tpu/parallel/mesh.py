@@ -61,6 +61,27 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def fsdp_param_sharding(params: Any, mesh: Mesh,
+                        min_size: int = 2 ** 16) -> Any:
+    """Per-leaf NamedSharding tree: shard each large >=2D param on its
+    largest axis over the ``fsdp`` mesh axis (must divide evenly);
+    everything else replicates.  XLA inserts the all-gathers/reduce-
+    scatters — ZeRO-3-style FSDP without manual collectives."""
+    assert FSDP_AXIS in mesh.axis_names, mesh.axis_names
+    n_shard = mesh.shape[FSDP_AXIS]
+
+    def shard_of(leaf):
+        if getattr(leaf, "ndim", 0) >= 2 and leaf.size >= min_size:
+            axis = int(np.argmax(leaf.shape))
+            if leaf.shape[axis] % n_shard == 0:
+                spec = [None] * leaf.ndim
+                spec[axis] = FSDP_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(shard_of, params)
+
+
 def pad_batch_to_multiple(batch: Any, multiple: int) -> Any:
     """Pad the leading axis of every array leaf to a multiple of the data
     axis size (uneven final batches would otherwise fail to shard).

@@ -56,11 +56,15 @@ def run_gen_cap(args) -> Dict[str, List[str]]:
     sample = store.read_nhwc(0)
     hw = sample.shape[1]
 
-    ids0 = jnp.full((k, 1), tok.cls_token_id, jnp.int32)
-    plen = jnp.ones((k,), jnp.int32)
+    # batch several videos' frames through one decode call (batch_rows*K
+    # frames per jit invocation; the reference generates row by row)
+    rows_per = max(int(args.batch_rows), 1)
+    bsz = rows_per * k
+    ids0 = jnp.full((bsz, 1), tok.cls_token_id, jnp.int32)
+    plen = jnp.ones((bsz,), jnp.int32)
     params = jax.jit(model.init)(jax.random.key(0), ids0,
                                  jnp.ones_like(ids0),
-                                 jnp.zeros((k, 1, hw, hw, 3)))
+                                 jnp.zeros((bsz, 1, hw, hw, 3)))
     if args.weights:
         params = load_pretrained_params("git", model, params, args.weights)
 
@@ -71,12 +75,20 @@ def run_gen_cap(args) -> Dict[str, List[str]]:
                                max_new_tokens=args.max_length - 1)
 
     captions: Dict[str, List[str]] = {}
-    for row in range(num_videos):
-        frames = store.read_nhwc(row)[:, None]          # (K, 1, H, W, 3)
-        out = np.asarray(gen(params, jnp.asarray(frames)))
-        captions[str(row)] = [tok.decode(out[i]) for i in range(k)]
-        if (row + 1) % 50 == 0:
-            LOGGER.info(f"captioned {row + 1}/{num_videos}")
+    for start in range(0, num_videos, rows_per):
+        rows = list(range(start, min(start + rows_per, num_videos)))
+        frames = np.concatenate(
+            [store.read_nhwc(r) for r in rows])         # (n*K, H, W, 3)
+        if frames.shape[0] < bsz:                       # pad final chunk
+            pad = np.zeros((bsz - frames.shape[0],) + frames.shape[1:],
+                           frames.dtype)
+            frames = np.concatenate([frames, pad])
+        out = np.asarray(gen(params, jnp.asarray(frames[:, None])))
+        for j, r in enumerate(rows):
+            captions[str(r)] = [tok.decode(out[j * k + i])
+                                for i in range(k)]
+        if rows[-1] + 1 >= 50 and (rows[-1] + 1) % 50 < rows_per:
+            LOGGER.info(f"captioned {rows[-1] + 1}/{num_videos}")
 
     out_file = os.path.join(args.anno_dir, "frame_captions.json")
     save_json(captions, out_file)
@@ -166,6 +178,9 @@ def build_argparser():
     p.add_argument("--K", type=int, default=32)
     p.add_argument("--ds_rate", type=int, default=1)
     p.add_argument("--max_length", type=int, default=30)
+    p.add_argument("--batch_rows", type=int, default=4,
+                   help="videos captioned per decode call (frames batch "
+                        "as batch_rows*K)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model dims (tests/synthetic)")
     p.add_argument("--seed", type=int, default=666)

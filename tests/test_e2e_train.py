@@ -103,6 +103,34 @@ def test_tgif_action_multiple_choice(tmp_path_factory, tmp_path):
     assert "what_acc" not in result["val"]  # MC has no per-type metrics
 
 
+def test_frameqa_end_to_end(tmp_path_factory, tmp_path):
+    """TGIF frameqa: JSONL annotations, open-ended 1540-way head,
+    object/number/color/location answer types."""
+    from sasvqa_tpu.data.synthetic import make_synthetic_frameqa_dataset
+    from sasvqa_tpu.tasks.run_video_qa import main
+    root = tmp_path_factory.mktemp("frameqa")
+    paths = make_synthetic_frameqa_dataset(str(root))
+    cfg_path = _write_config(
+        tmp_path, paths,
+        {"pretrained_model": "tiny-clip", "vocab_size": 512})
+    result = main(["--task", "frameqa", "--config", cfg_path])
+    assert np.isfinite(result["train_loss"])
+    assert "overall_acc" in result["val"]
+    assert "color_acc" in result["val"]  # frameqa answer types
+
+
+def test_git_mc_rejected(synth, tmp_path):
+    """GIT + multiple-choice must fail fast with a clear error."""
+    from sasvqa_tpu.data.synthetic import make_synthetic_mc_dataset
+    from sasvqa_tpu.tasks.run_video_qa import main
+    paths = make_synthetic_mc_dataset(str(tmp_path / "mc"))
+    cfg_path = _write_config(
+        tmp_path, paths, {"pretrained_model": "tiny-git",
+                          "vocab_size": 512})
+    with pytest.raises(ValueError, match="multiple-choice"):
+        main(["--task", "action", "--config", cfg_path])
+
+
 def test_blip_end_to_end(synth, tmp_path):
     from sasvqa_tpu.tasks.run_video_qa import main
     cfg_path = _write_config(
