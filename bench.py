@@ -12,6 +12,7 @@ the same shapes (see BASELINE.md action item).  Until a measured torch
 number exists, vs_baseline is reported against this estimate.
 """
 
+import functools
 import json
 import time
 
@@ -48,7 +49,7 @@ def main():
     tx = optax.adamw(1e-5)
     opt_state = tx.init(params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, ids, mask, pixels, labels):
         def loss_fn(p):
             out = model.apply(p, ids, mask, pixels, labels=labels,

@@ -66,6 +66,40 @@ def infinite_batches(dataset, collator, batch_size: int,
                                  shuffle=True, rng=rng, drop_last=drop_last)
 
 
+class MetaLoader:
+    """Ratio-weighted multi-task batch interleaver
+    (reference: src/datasets/dataloader.py:14-55 — used by its pretrain
+    path).  Yields (task_name, batch) drawn from per-task infinite
+    iterators with probability proportional to the given ratios,
+    deterministically from a seeded Generator.
+    """
+
+    def __init__(self, loaders, rng: np.random.Generator):
+        """loaders: {name: iterator} or {name: (iterator, ratio)}."""
+        assert loaders, "MetaLoader needs at least one loader"
+        self.names: List[str] = []
+        self.iters: List[Any] = []
+        ratios: List[float] = []
+        for name, l in loaders.items():
+            if isinstance(l, tuple):
+                it, r = l
+            else:
+                it, r = l, 1
+            self.names.append(name)
+            self.iters.append(it)
+            ratios.append(float(r))
+        p = np.asarray(ratios, np.float64)
+        self._p = p / p.sum()
+        self._rng = rng
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        task = int(self._rng.choice(len(self.iters), p=self._p))
+        return self.names[task], next(self.iters[task])
+
+
 _SENTINEL = object()
 
 

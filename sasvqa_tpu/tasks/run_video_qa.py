@@ -43,8 +43,7 @@ from sasvqa_tpu.data.annotations import (build_common_answer_dict,
 from sasvqa_tpu.data.dataset import (ClassifierCollator, GITCollator,
                                      VideoQADataset, make_collator)
 from sasvqa_tpu.data.frame_store import FrameStoreReader, load_vidmapping
-from sasvqa_tpu.data.pipeline import (DevicePrefetcher, epoch_batches,
-                                      infinite_batches)
+from sasvqa_tpu.data.pipeline import DevicePrefetcher, infinite_batches
 from sasvqa_tpu.data.tokenization import (CLIPBPETokenizer,
                                           WordPieceTokenizer,
                                           make_test_wordpiece)
@@ -125,7 +124,8 @@ def _pad_mc_batch(batch, n_dev: int, n_options: int):
 
 def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
              eval_step, mesh, eval_score: bool = True,
-             tag: str = "valid", n_options: int = 0) -> Dict[str, Any]:
+             tag: str = "valid", n_options: int = 0,
+             logits_step=None) -> Dict[str, Any]:
     st = time.time()
     qa_results = []
     n_ex = 0
@@ -133,20 +133,28 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
     # deterministic eval-time frame sampling (policies like 'random'
     # draw from this seeded rng)
     eval_rng = np.random.default_rng(cfg.seed)
-    for b_idx, batch in enumerate(epoch_batches(
-            dataset, collator, cfg.val_batch_size, shuffle=False,
-            rng=eval_rng)):
-        question_ids = batch.pop("question_ids")
+    # multi-clip ensemble eval: aggregate logits over n independent
+    # frame samples per video (score_agg_func, configs/config.py:99-101)
+    ensemble = int(cfg.get("inference_n_clips", 1)) \
+        if family != "git" and not n_options and logits_step else 1
+    pad_to = max(cfg.val_batch_size, n_dev)
+
+    def prep(batch):
         batch.pop("n_examples_list", None)
-        n_real = len(question_ids)
-        # pad the ragged final batch to the full val_batch_size so eval
-        # compiles exactly one shape (each extra shape costs a compile)
-        pad_to = max(cfg.val_batch_size, n_dev)
         if n_options:
             batch = _pad_mc_batch(batch, pad_to, n_options)
         else:
             batch = pad_batch_to_multiple(batch, pad_to)
-        batch = {k: v for k, v in batch.items() if v is not None}
+        return {k: v for k, v in batch.items() if v is not None}
+
+    from sasvqa_tpu.data.pipeline import batch_indices
+    for b_idx, idx in enumerate(batch_indices(
+            len(dataset), cfg.val_batch_size, False, None)):
+        items = [dataset.get_group(int(i)) for i in idx]
+        batch = collator(items, rng=eval_rng)
+        question_ids = batch.pop("question_ids")
+        n_real = len(question_ids)
+        batch = prep(batch)
         if family == "git":
             generated = np.asarray(eval_step(state, batch))
             preds, strs = decode_answers(tokenizer, generated[:n_real],
@@ -154,6 +162,21 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
             for qid, p, s in zip(question_ids, preds, strs):
                 qa_results.append(dict(question_id=qid, answer=p,
                                        answer_str=s,
+                                       data=dataset.qid2data[qid]))
+        elif ensemble > 1:
+            from sasvqa_tpu.train.retrieval import aggregate_clip_scores
+            all_logits = [np.asarray(logits_step(state, batch))[:n_real]]
+            for _ in range(ensemble - 1):
+                b2 = collator(items, rng=eval_rng)
+                b2.pop("question_ids")
+                all_logits.append(
+                    np.asarray(logits_step(state, prep(b2)))[:n_real])
+            agg = aggregate_clip_scores(
+                jnp.asarray(np.stack(all_logits, axis=-1)),
+                cfg.get("score_agg_func", "mean"))
+            preds = np.asarray(jnp.argmax(agg, axis=-1)).tolist()
+            for qid, p in zip(question_ids, preds):
+                qa_results.append(dict(question_id=qid, answer=int(p),
                                        data=dataset.qid2data[qid]))
         else:
             preds, _ = eval_step(state, batch)
@@ -285,14 +308,20 @@ def start_training(cfg) -> Dict[str, Any]:
                 f"every {cfg.valid_steps}, {n_dev} devices *****")
 
     n_opt = cfg.num_labels if is_mc else 0
+    logits_step = None
+    if family != "git" and not is_mc \
+            and int(cfg.get("inference_n_clips", 1)) > 1:
+        logits_step = train_steps.make_classifier_logits_step(mesh)
 
     def run_validation(tag_prefix=""):
         res_v = validate(state, val_ds, eval_collator, cfg, family,
                          tokenizer, ans2label, eval_step, mesh,
-                         tag=f"{tag_prefix}valid", n_options=n_opt)
+                         tag=f"{tag_prefix}valid", n_options=n_opt,
+                         logits_step=logits_step)
         res_t = validate(state, test_ds, eval_collator, cfg, family,
                          tokenizer, ans2label, eval_step, mesh,
-                         tag=f"{tag_prefix}test", n_options=n_opt)
+                         tag=f"{tag_prefix}test", n_options=n_opt,
+                         logits_step=logits_step)
         return res_v, res_t
 
     if cfg.get("zero_eval"):

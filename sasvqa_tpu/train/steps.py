@@ -238,6 +238,20 @@ def make_mc_eval_step(n_options: int, mesh: Optional[Mesh] = None):
     return _maybe_jit_sharded(step, mesh, donate=False)
 
 
+def make_classifier_logits_step(mesh: Optional[Mesh] = None):
+    """Eval step returning raw logits (multi-clip ensemble aggregation
+    happens outside: mean/max/lse over clip samples, the reference's
+    score_agg_func surface, configs/config.py:99-101)."""
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        out = state.apply_fn(
+            state.params, batch["text_input_ids"],
+            batch["text_attention_mask"], batch["visual_inputs"])
+        return out["logits"]
+
+    return _maybe_jit_sharded(step, mesh, donate=False)
+
+
 def make_classifier_eval_step(mesh: Optional[Mesh] = None):
     def step(state: TrainState, batch: Dict[str, Any]):
         out = state.apply_fn(

@@ -103,6 +103,19 @@ def test_tgif_action_multiple_choice(tmp_path_factory, tmp_path):
     assert "what_acc" not in result["val"]  # MC has no per-type metrics
 
 
+def test_multiclip_ensemble_eval(synth, tmp_path):
+    """inference_n_clips > 1: logits aggregate over clip samples with
+    score_agg_func (the reference parsed these flags but never used
+    them in the live loop)."""
+    from sasvqa_tpu.tasks.run_video_qa import main
+    cfg_path = _write_config(
+        tmp_path, synth,
+        {"pretrained_model": "tiny-clip", "vocab_size": 512},
+        samp_policy="random", inference_n_clips=3, score_agg_func="lse")
+    result = main(["--task", "msvd_qa", "--config", cfg_path])
+    assert "overall_acc" in result["val"]
+
+
 def test_frameqa_end_to_end(tmp_path_factory, tmp_path):
     """TGIF frameqa: JSONL annotations, open-ended 1540-way head,
     object/number/color/location answer types."""

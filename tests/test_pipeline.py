@@ -60,6 +60,39 @@ def test_prefetcher_propagates_errors():
         next(it)
 
 
+def test_meta_loader_ratios():
+    from sasvqa_tpu.data.pipeline import MetaLoader
+    import itertools
+
+    def make(n):
+        return itertools.count(n)
+
+    ml = MetaLoader({"a": (make(0), 3), "b": (make(1000), 1)},
+                    rng=np.random.default_rng(0))
+    names = [next(ml)[0] for _ in range(400)]
+    frac_a = names.count("a") / len(names)
+    assert 0.65 < frac_a < 0.85  # ~0.75
+
+    # deterministic under the same seed
+    ml2 = MetaLoader({"a": (make(0), 3), "b": (make(1000), 1)},
+                     rng=np.random.default_rng(0))
+    assert [next(ml2)[0] for _ in range(400)] == names
+
+
+def test_prefetcher_close_unblocks_producer():
+    import time
+
+    def gen():
+        for i in range(100):
+            yield {"x": np.zeros((1,), np.float32)}
+
+    pf = DevicePrefetcher(gen(), mesh=None, depth=1)
+    next(pf)
+    pf.close()
+    time.sleep(0.3)
+    assert not pf._thread.is_alive()
+
+
 def test_prefetcher_none_passthrough():
     def gen():
         yield {"x": np.zeros((2, 2), np.float32), "labels": None}
