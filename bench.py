@@ -25,7 +25,7 @@ import numpy as np
 # measured; recorded so vs_baseline is stable across rounds.
 BASELINE_QA_PAIRS_PER_SEC = 10.0
 
-BATCH = 8
+BATCH = 16
 FRAMES = 8
 IMG = 224
 TXT_LEN = 32
