@@ -68,18 +68,83 @@ class TransformerDecoderLayer(nn.Module):
         return ln("norm3")(x + drop()(h))
 
 
+class TransformerEncoderLayer(nn.Module):
+    """torch.nn.TransformerEncoderLayer equivalent (post-LN)."""
+
+    num_heads: int = 8
+    ffn_scale: int = 4
+    activation: str = "gelu"
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        d = x.shape[-1]
+        drop = lambda: nn.Dropout(self.dropout_rate,
+                                  deterministic=deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+            x + drop()(MultiHeadAttention(self.num_heads, dtype=self.dtype,
+                                          name="self_attn")(x)))
+        act = nn.relu if self.activation == "relu" else nn.gelu
+        h = nn.Dense(self.ffn_scale * d, dtype=self.dtype,
+                     name="linear1")(x)
+        h = nn.Dense(d, dtype=self.dtype, name="linear2")(drop()(act(h)))
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + drop()(h))
+
+
 class CrossAttentionFusion(nn.Module):
-    """n_layer stacked decoder layers (reference default n_layer=1)."""
+    """The reference CrossAttentionLayer's three variants
+    (modeling.py:351-390):
+
+    - ``dec-only`` (the live default): n_layer stacked decoder layers,
+      text as target, frame embeddings as memory;
+    - ``enc-dec``: one encoder layer over the frames then one decoder
+      layer (torch.nn.Transformer(1, 1, gelu) semantics incl. the final
+      encoder/decoder LayerNorms);
+    - ``dec-cas``: the shared decoder layer applied per frame in a
+      cascade (memory = one frame at a time).
+    """
 
     num_heads: int = 8
     n_layers: int = 1
     dropout_rate: float = 0.1
+    attn_type: str = "dec-only"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, txt_in: jax.Array, vis_in: jax.Array,
                  txt_attn_mask: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
+        if self.attn_type == "enc-dec":
+            mem = TransformerEncoderLayer(
+                self.num_heads, activation="gelu",
+                dropout_rate=self.dropout_rate, dtype=self.dtype,
+                name="encoder_0")(vis_in, deterministic=deterministic)
+            mem = nn.LayerNorm(dtype=self.dtype, name="encoder_norm")(mem)
+            # reference passes vis as src and txt as tgt (modeling.py:378)
+            out = TransformerDecoderLayer(
+                self.num_heads, activation="gelu",
+                dropout_rate=self.dropout_rate, dtype=self.dtype,
+                name="decoder_0")(txt_in, mem,
+                                  tgt_key_padding_mask=txt_attn_mask,
+                                  deterministic=deterministic)
+            return nn.LayerNorm(dtype=self.dtype, name="decoder_norm")(out)
+
+        if self.attn_type == "dec-cas":
+            # one shared decoder layer cascaded over frames
+            # (modeling.py:382-390)
+            layer = TransformerDecoderLayer(
+                self.num_heads, dropout_rate=self.dropout_rate,
+                dtype=self.dtype, name="layers_0")
+            o = txt_in
+            for t in range(vis_in.shape[1]):
+                o = layer(o, vis_in[:, t:t + 1],
+                          tgt_key_padding_mask=txt_attn_mask,
+                          deterministic=deterministic)
+            return o
+
+        assert self.attn_type == "dec-only", self.attn_type
         x = txt_in
         for i in range(self.n_layers):
             x = TransformerDecoderLayer(
@@ -102,6 +167,7 @@ class AnswerClassifier(nn.Module):
     dropout_rate: float = 0.1
     classifier: str = "linear"  # live reference path uses a single Linear
     cls_hidden_scale: int = 2
+    attn_type: str = "dec-only"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -114,7 +180,8 @@ class AnswerClassifier(nn.Module):
         mask = jnp.concatenate(
             [jnp.ones((b, 1), dtype=txt_mask.dtype), txt_mask], axis=1)
         fused = CrossAttentionFusion(
-            self.num_heads, dropout_rate=self.dropout_rate, dtype=self.dtype,
+            self.num_heads, dropout_rate=self.dropout_rate,
+            attn_type=self.attn_type, dtype=self.dtype,
             name="attention")(txt_in, vis_embeds, mask,
                               deterministic=deterministic)
         pooled = fused[:, 0, :]

@@ -86,7 +86,8 @@ def build_model(cfg, dtype=jnp.float32):
         loss_type=cfg.get("loss_type", "ce"),
         classifier=cfg.get("classifier", "linear"),
         cls_hidden_scale=cfg.get("cls_hidden_scale", 2),
-        hidden_dropout_prob=cfg.model.get("hidden_dropout_prob", 0.1))
+        hidden_dropout_prob=cfg.model.get("hidden_dropout_prob", 0.1),
+        attn_type=cfg.model.get("attn_type", "dec-only"))
 
     img_size = cfg.get("img_size")
     vocab_override = cfg.model.get("vocab_size")

@@ -53,6 +53,7 @@ class ClassifierHeadConfig:
     classifier: str = "linear"
     cls_hidden_scale: int = 2
     hidden_dropout_prob: float = 0.1
+    attn_type: str = "dec-only"  # reference variants: enc-dec, dec-cas
 
 
 class CLIPVideoQA(nn.Module):
@@ -73,6 +74,7 @@ class CLIPVideoQA(nn.Module):
             dropout_rate=self.head.hidden_dropout_prob,
             classifier=self.head.classifier,
             cls_hidden_scale=self.head.cls_hidden_scale,
+            attn_type=self.head.attn_type,
             dtype=self.dtype)
         self.mc_head = AnswerClassifier(
             num_labels=1, dropout_rate=self.head.hidden_dropout_prob,
@@ -156,6 +158,7 @@ class BLIPVideoQA(nn.Module):
             dropout_rate=self.head.hidden_dropout_prob,
             classifier=self.head.classifier,
             cls_hidden_scale=self.head.cls_hidden_scale,
+            attn_type=self.head.attn_type,
             dtype=self.dtype)
         self.mc_head = AnswerClassifier(
             num_labels=1, dropout_rate=self.head.hidden_dropout_prob,
