@@ -27,8 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
-DEFAULT_BQ = 128
-DEFAULT_BK = 128
+# 512-blocks run ~2x faster than 128 at kiloscale sequences on v5e
+DEFAULT_BQ = 512
+DEFAULT_BK = 512
 
 # Pallas interpreter mode (for CPU correctness tests; the axon TPU plugin
 # ignores JAX_PLATFORMS so backend sniffing is unreliable here).

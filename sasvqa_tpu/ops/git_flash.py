@@ -30,15 +30,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
-DEFAULT_BQ = 128
-DEFAULT_BK = 128
+# 512-blocks measured 2.1x faster than 128 at S=1640 on v5e (the MXU
+# amortises better over bigger tiles; padding waste is within the win)
+DEFAULT_BQ = 512
+DEFAULT_BK = 512
 
-# Below this sequence length the XLA dense-recompute backward wins (its
-# big materialised matmuls beat the blockwise kernels' small ones on the
-# MXU; measured 36 vs 31 qa/s at S=1640 on v5e).  Above it the dense
-# backward's O(B*H*S^2) f32 transients (6.6 GB/layer at S=4144) make the
-# Pallas backward the only sane option.
-PALLAS_BWD_MIN_SEQ = 2048
+# Sequence threshold below which the XLA dense-recompute backward is
+# used instead of the Pallas kernels.  With 512-blocks the Pallas
+# backward wins at every measured size (47.2 vs 41.1 qa/s at S=1640 on
+# v5e, and it avoids the dense path's O(B*H*S^2) f32 transients — 6.6
+# GB/layer at S=4144), so the threshold is 0; kept as a knob in case a
+# future shape regresses.
+PALLAS_BWD_MIN_SEQ = 0
 
 _INTERPRET = False
 

@@ -153,3 +153,49 @@ def test_blip_end_to_end(synth, tmp_path):
     result = main(["--task", "msvd_qa", "--config", cfg_path])
     assert np.isfinite(result["train_loss"])
     assert "overall_acc" in result["val"]
+
+
+def test_auto_resume_from_restore_checkpoint(synth, tmp_path):
+    """Preemption recovery: a second run with the same output_dir resumes
+    from the restore checkpoint instead of step 0 (reference
+    E2E_TrainingRestorer semantics, load_save.py:239-307)."""
+    import jax
+    from sasvqa_tpu.core.checkpoint import TrainingRestorer
+    from sasvqa_tpu.models.clip import CLIPTextConfig, CLIPVisionConfig
+    from sasvqa_tpu.models.video_qa import CLIPVideoQA, ClassifierHeadConfig
+    from sasvqa_tpu.core.config import ConfigDict
+    from sasvqa_tpu.train import steps as ts
+    import jax.numpy as jnp
+
+    tc = CLIPTextConfig(vocab_size=64, hidden_size=16, intermediate_size=32,
+                        num_layers=1, num_heads=2,
+                        max_position_embeddings=8, eos_token_id=63)
+    vc = CLIPVisionConfig(hidden_size=16, intermediate_size=32, num_layers=1,
+                          num_heads=2, image_size=16, patch_size=8,
+                          projection_dim=16)
+    model = CLIPVideoQA(tc, vc, ClassifierHeadConfig(num_labels=5))
+    ids = jnp.ones((2, 4), jnp.int32)
+    mask = jnp.ones_like(ids)
+    px = jnp.zeros((2, 1, 16, 16, 3))
+    params = jax.jit(model.init)(jax.random.key(0), ids, mask, px)
+    cfg = ConfigDict(dict(optim="adamw", learning_rate=1e-3,
+                          num_train_epochs=1, gradient_accumulation_steps=1,
+                          grad_norm=-1))
+    state = ts.create_train_state(model, params, cfg, total_steps=10)
+    state = state.replace(step=state.step + 7)
+
+    out = str(tmp_path / "resume_out")
+    r1 = TrainingRestorer(out, save_steps=1)
+    r1.maybe_save(7, state)
+    r1.wait()
+    assert r1.restore_step == 7
+
+    # fresh restorer + fresh state: auto-resume restores step and params
+    state2 = ts.create_train_state(model, params, cfg, total_steps=10)
+    r2 = TrainingRestorer(out, save_steps=1)
+    state2 = r2.restore_into(state2)
+    assert int(state2.step) == 7
+    import numpy as np
+    leaf1 = jax.tree_util.tree_leaves(state.params)[0]
+    leaf2 = jax.tree_util.tree_leaves(state2.params)[0]
+    np.testing.assert_array_equal(np.asarray(leaf1), np.asarray(leaf2))
