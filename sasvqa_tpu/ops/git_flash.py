@@ -33,7 +33,7 @@ NEG_INF = -1e9
 # 512-blocks measured 2.1x faster than 128 at S=1640 on v5e (the MXU
 # amortises better over bigger tiles; padding waste is within the win)
 DEFAULT_BQ = 512
-DEFAULT_BK = 512
+DEFAULT_BK = 1024
 
 # Sequence threshold below which the XLA dense-recompute backward is
 # used instead of the Pallas kernels.  With 512-blocks the Pallas
