@@ -91,3 +91,28 @@ def test_timers():
 
     x = jnp.ones((4,))
     assert synced(x) is x
+
+
+def test_retrieval_task_end_to_end(tmp_path):
+    """tasks/run_retrieval on synthetic data with a tiny CLIP."""
+    import json
+    from sasvqa_tpu.data.synthetic import make_synthetic_dataset
+    from sasvqa_tpu.tasks.run_retrieval import main
+
+    paths = make_synthetic_dataset(str(tmp_path / "d"), num_videos=4,
+                                   stored_frames=8, img_hw=32,
+                                   questions_per_video=1)
+    cfg = {
+        "task": "msvd_qa",
+        "val_datasets": [{"name": "msvd_qa", "txt": paths["val"],
+                          "img": paths["h5"]}],
+        "vid_mapping": paths["vidmapping"],
+        "model": {"pretrained_model": "tiny-clip", "vocab_size": 512},
+        "img_size": 32, "nframe": 2, "max_txt_len": 12,
+        "score_agg_func": "mean",
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    metrics = main(["--config", str(p)])
+    assert set(metrics) == {"r1", "r5", "r10", "medianR", "meanR"}
+    assert 0 <= metrics["r1"] <= 100
