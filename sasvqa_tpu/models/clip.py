@@ -69,12 +69,18 @@ CLIP_VIT_L14 = (
 class CLIPTextEncoder(nn.Module):
     config: CLIPTextConfig
     dtype: jnp.dtype = jnp.float32
+    # with_projection adds the CLIP text_projection (no bias) so the
+    # pooled output lives in the shared text/image embedding space
+    # (HF CLIPTextModelWithProjection) — needed for retrieval
+    with_projection: bool = False
+    projection_dim: int = 512
 
     @nn.compact
     def __call__(self, input_ids: jax.Array,
                  attention_mask: Optional[jax.Array] = None,
                  ) -> Tuple[jax.Array, jax.Array]:
-        """Returns (last_hidden_state (B, L, D), pooled (B, D))."""
+        """Returns (last_hidden_state (B, L, D), pooled (B, D)); pooled
+        is projected to the shared space when with_projection."""
         cfg = self.config
         b, l = input_ids.shape
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
@@ -102,6 +108,10 @@ class CLIPTextEncoder(nn.Module):
         pooled = jnp.take_along_axis(
             x, eos_pos[:, None, None].repeat(x.shape[-1], axis=-1), axis=1
         )[:, 0]
+        if self.with_projection:
+            pooled = nn.Dense(self.projection_dim, use_bias=False,
+                              dtype=self.dtype,
+                              name="text_projection")(pooled)
         return x, pooled
 
 

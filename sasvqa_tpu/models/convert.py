@@ -128,13 +128,16 @@ def _bert_attention_fused(sd, p):
 
 def convert_clip_text(sd: Dict[str, Any], num_layers: int,
                       prefix: str = "text_model") -> Dict[str, Any]:
-    """HF CLIPTextModel state_dict -> CLIPTextEncoder params."""
+    """HF CLIPTextModel state_dict -> CLIPTextEncoder params.  Picks up
+    ``text_projection`` when present (full-CLIPModel checkpoints)."""
     params = {
         "token_embedding": _emb(sd, f"{prefix}.embeddings.token_embedding"),
         "position_embedding": _emb(
             sd, f"{prefix}.embeddings.position_embedding"),
         "final_layer_norm": _ln(sd, f"{prefix}.final_layer_norm"),
     }
+    if "text_projection.weight" in sd:
+        params["text_projection"] = _lin_nobias(sd, "text_projection")
     for i in range(num_layers):
         params[f"layers_{i}"] = _preln_block(
             sd, f"{prefix}.encoder.layers.{i}")

@@ -111,21 +111,29 @@ def _flash_forward(q, k, v, bias, bq: int, bk: int):
         bb, bh_, blq, blk = bias.shape
         assert bb in (1, b) and bh_ in (1, h), (
             f"bias leading dims {(bb, bh_)} not broadcastable to {(b, h)}")
-        bias_f = jnp.broadcast_to(bias, (bb, bh_, lq, lk))
-        bias_f = _pad_to(_pad_to(bias_f, 3, bk, NEG_INF), 2, bq)
-        # collapse to (bb*bh_, Lq_p, Lk_p); index by the ORIGINAL leading
-        # dims so (1, H, ...) / (B, 1, ...) / (B, H, ...) / (1, 1, ...)
-        # all resolve correctly even when H == B
-        bias_f = bias_f.reshape(bb * bh_, lq_p, lk_p)
+        # row-broadcast biases (blq == 1, e.g. key-padding masks) stay
+        # O(Lk) — the kernel broadcasts a (1, BK) slice over the q block;
+        # only genuinely 2D biases materialise (Lq, Lk)
+        row_bias = blq == 1
+        q_dim = 1 if row_bias else lq
+        bias_f = jnp.broadcast_to(bias, (bb, bh_, q_dim, lk))
+        bias_f = _pad_to(bias_f, 3, bk, NEG_INF)
+        if not row_bias:
+            bias_f = _pad_to(bias_f, 2, bq)
+        q_dim_p = 1 if row_bias else lq_p
+        # collapse to (bb*bh_, q_dim_p, Lk_p); index by the ORIGINAL
+        # leading dims so (1, H, ...) / (B, 1, ...) / (B, H, ...) /
+        # (1, 1, ...) all resolve correctly even when H == B
+        bias_f = bias_f.reshape(bb * bh_, q_dim_p, lk_p)
 
-        def bias_index(bh_i, qi, bb=bb, bh_=bh_, h=h):
+        def bias_index(bh_i, qi, bb=bb, bh_=bh_, h=h, row=row_bias):
             batch_part = (bh_i // h) if bb != 1 else 0
             head_part = (bh_i % h) if bh_ != 1 else 0
-            return (batch_part * bh_ + head_part, qi, 0)
+            return (batch_part * bh_ + head_part, 0 if row else qi, 0)
 
         bias_arg = (bias_f,)
-        bias_spec = (pl.BlockSpec((1, bq, lk_p), bias_index,
-                                  memory_space=pltpu.VMEM),)
+        bias_spec = (pl.BlockSpec((1, 1 if row_bias else bq, lk_p),
+                                  bias_index, memory_space=pltpu.VMEM),)
 
     grid = (b * h, lq_p // bq)
     kernel = functools.partial(

@@ -86,8 +86,6 @@ def pad_batch_to_multiple(batch: Any, multiple: int) -> Any:
     """Pad the leading axis of every array leaf to a multiple of the data
     axis size (uneven final batches would otherwise fail to shard).
     Padded labels are set to -100 so they drop out of loss/metrics."""
-    import numpy as np
-
     def pad(x, value=0):
         if not hasattr(x, "shape") or x.ndim == 0:
             return x

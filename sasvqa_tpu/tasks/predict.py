@@ -56,8 +56,11 @@ def predict(args) -> str:
 
     if family == "git":
         from sasvqa_tpu.models.git import greedy_generate
-        ids_list = [tokenizer.cls_token_id] + tokenizer.encode(
-            args.question, add_special_tokens=False)
+        # truncate the prompt, leaving room to generate (prompt_fill pads
+        # the cache to max_length and cannot take a longer prompt)
+        budget = max(args.max_length - 8, 1)
+        ids_list = ([tokenizer.cls_token_id] + tokenizer.encode(
+            args.question, add_special_tokens=False))[:budget]
         lp = len(ids_list)
         ids = jnp.asarray([ids_list], jnp.int32)
         plen = jnp.asarray([lp], jnp.int32)

@@ -7,9 +7,10 @@ its Recall@K/MedR/MeanR evaluator :519-543 and multi-clip aggregation
 
     python -m sasvqa_tpu.tasks.run_retrieval --config cfg.json
 
-Encodes every (caption, video) pair with the CLIP towers — video
-embedding = score_agg_func-pooled per-frame image embeds — and reports
-text->video R@1/5/10, MedR, MeanR.
+Encodes every (caption, video) pair with the projected CLIP towers —
+text via text_projection, video = score_agg_func-pooled per-frame image
+embeds — in val_batch_size chunks, and reports text->video R@1/5/10,
+MedR, MeanR.
 """
 
 from __future__ import annotations
@@ -27,46 +28,76 @@ from sasvqa_tpu.train.retrieval import (aggregate_clip_scores,
                                         similarity_matrix)
 
 
-def encode_corpus(model, params, tokenizer, captions: List[str],
-                  frames: np.ndarray, cfg) -> Dict[str, np.ndarray]:
-    """captions: N strings; frames: (N, T, H, W, C).
-
-    Returns normalized text (N, D) and video (N, D) embeddings; video =
-    mean/max/lse pooled per-frame CLIP image embeds.
-    """
+def build_towers(cfg, dtype=jnp.bfloat16):
+    """Standalone projected CLIP towers (both ends land in the shared
+    embedding space — the task model's text tower is unprojected)."""
+    import dataclasses
     from sasvqa_tpu.models.clip import CLIPTextEncoder, CLIPVisionEncoder
+    from sasvqa_tpu.models.presets import _clip_configs
 
+    name = cfg.model.pretrained_model.lower()
+    tc, vc = _clip_configs(name)
+    if cfg.model.get("vocab_size"):
+        tc = dataclasses.replace(tc, vocab_size=cfg.model.vocab_size,
+                                 eos_token_id=cfg.model.vocab_size - 1)
+    if cfg.get("img_size") and cfg.img_size != vc.image_size:
+        vc = dataclasses.replace(vc, image_size=cfg.img_size)
+    txt_tower = CLIPTextEncoder(tc, dtype=dtype, with_projection=True,
+                                projection_dim=vc.projection_dim)
+    vis_tower = CLIPVisionEncoder(vc, dtype=dtype, with_projection=True)
+    return txt_tower, vis_tower
+
+
+def encode_corpus(txt_tower, vis_tower, txt_params, vis_params, tokenizer,
+                  captions: List[str], frames: np.ndarray, cfg,
+                  batch_size: int = 64) -> Dict[str, np.ndarray]:
+    """captions: N strings; frames: (N, T, H, W, C), chunked encode.
+
+    Returns text (N, D) and video (N, D) embeddings in the shared CLIP
+    space; video = mean/max/lse pooled per-frame projected image embeds.
+    """
     enc = tokenizer(captions, max_length=cfg.get("max_txt_len", 20))
-    ids = jnp.asarray(enc["input_ids"])
-    mask = jnp.asarray(enc["attention_mask"])
-    # standalone towers over the task model's param subtrees (setup-bound
-    # submodules are only reachable inside apply)
-    txt_tower = CLIPTextEncoder(model.text_config, dtype=model.dtype)
-    vis_tower = CLIPVisionEncoder(model.vision_config, dtype=model.dtype,
-                                  with_projection=True)
 
     @jax.jit
-    def encode(params, ids, mask, frames):
-        _, txt_pooled = txt_tower.apply(
-            {"params": params["params"]["txt_model"]}, ids, mask)
+    def encode(ids, mask, frames):
+        _, txt = txt_tower.apply(txt_params, ids, mask)
         b, t = frames.shape[:2]
         flat = frames.reshape((b * t,) + frames.shape[2:])
-        _, _, image_embeds = vis_tower.apply(
-            {"params": params["params"]["vis_model"]}, flat)
+        _, _, image_embeds = vis_tower.apply(vis_params, flat)
         vis = image_embeds.reshape(b, t, -1)
         vid = aggregate_clip_scores(vis, cfg.get("score_agg_func", "mean"),
                                     axis=1)
-        return txt_pooled, vid
+        return txt, vid
 
-    txt, vid = encode(params, ids, mask, jnp.asarray(frames))
-    return {"text": np.asarray(txt), "video": np.asarray(vid)}
+    n = len(captions)
+    bs = min(batch_size, n)
+    txt_out, vid_out = [], []
+    for s in range(0, n, bs):
+        e = min(s + bs, n)
+        ids = enc["input_ids"][s:e]
+        mask = enc["attention_mask"][s:e]
+        chunk = frames[s:e]
+        if e - s < bs:  # pad the final chunk to the compiled shape
+            pad = bs - (e - s)
+            ids = np.pad(ids, ((0, pad), (0, 0)))
+            mask = np.pad(mask, ((0, pad), (0, 0)))
+            chunk = np.pad(chunk, ((0, pad),) + ((0, 0),) * 4)
+        txt, vid = encode(jnp.asarray(ids), jnp.asarray(mask),
+                          jnp.asarray(chunk))
+        txt_out.append(np.asarray(txt)[:e - s])
+        vid_out.append(np.asarray(vid)[:e - s])
+    return {"text": np.concatenate(txt_out),
+            "video": np.concatenate(vid_out)}
 
 
-def evaluate_retrieval(model, params, tokenizer, captions, frames,
-                       cfg) -> Dict[str, float]:
-    embeds = encode_corpus(model, params, tokenizer, captions, frames, cfg)
-    sim = np.asarray(similarity_matrix(jnp.asarray(embeds["text"]),
-                                       jnp.asarray(embeds["video"])))
+def evaluate_retrieval(txt_tower, vis_tower, txt_params, vis_params,
+                       tokenizer, captions, frames, cfg,
+                       batch_size: int = 64) -> Dict[str, float]:
+    embeds = encode_corpus(txt_tower, vis_tower, txt_params, vis_params,
+                           tokenizer, captions, frames, cfg, batch_size)
+    sim = np.asarray(similarity_matrix(
+        jnp.asarray(embeds["text"], jnp.float32),
+        jnp.asarray(embeds["video"], jnp.float32)))
     metrics = retrieval_metrics(sim)
     LOGGER.info(f"retrieval: {metrics}")
     return metrics
@@ -78,17 +109,19 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     from sasvqa_tpu.data.annotations import load_datalist
     from sasvqa_tpu.data.frame_store import (FrameStoreReader,
                                              load_vidmapping)
-    from sasvqa_tpu.models.presets import build_model, load_pretrained_params
+    from sasvqa_tpu.models.convert import (convert_clip_text,
+                                           convert_clip_vision,
+                                           merge_pretrained)
     from sasvqa_tpu.tasks.run_video_qa import build_tokenizer
+    from sasvqa_tpu.tools.extract_frames import _uniform_centers
 
     p = argparse.ArgumentParser(description="video-text retrieval eval")
     p.add_argument("--config", required=True)
     args = p.parse_args(argv)
     cfg = load_config(args.config)
 
-    family, model = build_model(cfg, dtype=jnp.bfloat16)
-    assert family == "clip", "retrieval eval uses the CLIP dual encoder"
-    tokenizer = build_tokenizer(cfg, family)
+    txt_tower, vis_tower = build_towers(cfg)
+    tokenizer = build_tokenizer(cfg, "clip")
 
     datalist = load_datalist(cfg.task, cfg.val_datasets[0].txt)
     store = FrameStoreReader(cfg.val_datasets[0].img)
@@ -101,19 +134,34 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     video_ids = list(seen)
     captions = [seen[v] for v in video_ids]
     t = cfg.get("nframe", 4)
-    frames = np.stack([store.read_nhwc(vid2id[v])[:t] for v in video_ids])
+    # uniform centers per video (stores may hold ragged K frames)
+    stacks = []
+    for v in video_ids:
+        fr = store.read_nhwc(vid2id[v])
+        stacks.append(fr[_uniform_centers(len(fr), t)])
+    frames = np.stack(stacks)
 
-    ids0 = jnp.asarray(tokenizer([captions[0]],
-                                 max_length=cfg.get("max_txt_len", 20))
-                       ["input_ids"])
-    params = jax.jit(model.init)(jax.random.key(0), ids0,
-                                 jnp.ones_like(ids0),
-                                 jnp.asarray(frames[:1]))
+    enc0 = tokenizer([captions[0]], max_length=cfg.get("max_txt_len", 20))
+    ids0 = jnp.asarray(enc0["input_ids"])
+    txt_params = jax.jit(txt_tower.init)(jax.random.key(0), ids0,
+                                         jnp.ones_like(ids0))
+    vis_params = jax.jit(vis_tower.init)(jax.random.key(1),
+                                         jnp.asarray(frames[:1, 0]))
     weights = cfg.model.get("pretrained_weights")
     if weights:
-        params = load_pretrained_params(family, model, params, weights)
-    metrics = evaluate_retrieval(model, params, tokenizer, captions,
-                                 frames, cfg)
+        from sasvqa_tpu.models.presets import _load_torch_state_dict
+        sd = _load_torch_state_dict(weights)
+        tcfg, vcfg = txt_tower.config, vis_tower.config
+        merged_t, _ = merge_pretrained(
+            txt_params["params"], convert_clip_text(sd, tcfg.num_layers))
+        merged_v, _ = merge_pretrained(
+            vis_params["params"], convert_clip_vision(sd, vcfg.num_layers))
+        txt_params = {"params": merged_t}
+        vis_params = {"params": merged_v}
+
+    metrics = evaluate_retrieval(
+        txt_tower, vis_tower, txt_params, vis_params, tokenizer, captions,
+        frames, cfg, batch_size=cfg.get("val_batch_size", 64))
     print(metrics)
     return metrics
 

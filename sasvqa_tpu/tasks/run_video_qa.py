@@ -104,7 +104,6 @@ def decode_answers(tokenizer, generated: np.ndarray,
 
 def _pad_mc_batch(batch, n_dev: int, n_options: int):
     """Pad an MC batch: video axis (B) to n_dev, text axis to B'*O."""
-    import numpy as np
     b = batch["visual_inputs"].shape[0]
     rem = (-b) % n_dev
     if rem == 0:
@@ -224,8 +223,8 @@ def start_training(cfg) -> Dict[str, Any]:
         anno_files = (cfg.train_datasets[0].txt,)
         ans2label = build_common_answer_dict(anno_files, 1000)
 
-    from sasvqa_tpu.models.video_qa import model_family
-    family = model_family(cfg.model.pretrained_model)
+    dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32
+    family, model = build_model(cfg, dtype=dtype)
     if is_mc and family == "git":
         raise ValueError(
             "action/transition multiple-choice requires a clip/blip "
@@ -233,9 +232,6 @@ def start_training(cfg) -> Dict[str, Any]:
     tokenizer = build_tokenizer(cfg, family)
 
     train_ds, val_ds, test_ds = setup_datasets(cfg, ans2label)
-
-    dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32
-    family, model = build_model(cfg, dtype=dtype)
 
     mesh = make_mesh(shape=cfg.get("mesh_shape"), axes=cfg.get("mesh_axes"),
                      platform=cfg.get("platform"))
@@ -250,9 +246,9 @@ def start_training(cfg) -> Dict[str, Any]:
     cfg.num_train_steps = int(math.ceil(
         1.0 * cfg.num_train_epochs * total_n_examples
         / total_train_batch_size))
-    cfg.valid_steps = int(math.ceil(
+    cfg.valid_steps = max(int(math.ceil(
         1.0 * cfg.num_train_steps / cfg.num_valid
-        / cfg.min_valid_steps)) * cfg.min_valid_steps
+        / cfg.min_valid_steps)) * cfg.min_valid_steps, 1)
 
     # init + optional local pretrained overlay
     collator = make_collator(family, tokenizer, cfg)
@@ -356,7 +352,7 @@ def start_training(cfg) -> Dict[str, Any]:
                          cfg.train_batch_size * n_dev, host_rng),
         mesh=mesh)
     t_start = time.time()
-    for batch, host_meta in prefetch:
+    for batch, host_meta in (prefetch if cfg.num_train_steps > 0 else ()):
         state, metrics = train_step(state, batch, dropout_key)
         micro += 1
         if micro % cfg.gradient_accumulation_steps == 0:
@@ -382,14 +378,17 @@ def start_training(cfg) -> Dict[str, Any]:
                 res_v, _ = run_validation()
                 last_scores = res_v["scores"]
                 saver.save(global_step, jax.device_get(state.params))
-        if preempted["flag"]:
-            prefetch.close()
-            restorer.force_save(int(state.step), state)
-            restorer.wait()
-            LOGGER.info("preemption checkpoint saved; exiting")
-            return {"val": last_scores, "test": {},
-                    "train_loss": running_loss.val,
-                    "global_step": global_step, "preempted": True}
+            # preemption honored only at accumulation boundaries so a
+            # resumed run's micro counter stays aligned with the
+            # MultiSteps update cycle
+            if preempted["flag"]:
+                prefetch.close()
+                restorer.force_save(int(state.step), state)
+                restorer.wait()
+                LOGGER.info("preemption checkpoint saved; exiting")
+                return {"val": last_scores, "test": {},
+                        "train_loss": running_loss.val,
+                        "global_step": global_step, "preempted": True}
         if global_step >= cfg.num_train_steps:
             break
         if cfg.debug and global_step >= debug_cap:

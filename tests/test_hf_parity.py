@@ -281,3 +281,29 @@ def test_blip_parity(text_batch, pixels):
     np.testing.assert_allclose(np.asarray(pooled_t),
                                ref_t.pooler_output.numpy(),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_clip_text_projection_parity(text_batch):
+    """with_projection text tower == HF CLIPTextModelWithProjection."""
+    from transformers import CLIPTextModelWithProjection
+    from sasvqa_tpu.models.clip import CLIPTextConfig as FxCfg, CLIPTextEncoder
+    from sasvqa_tpu.models.convert import convert_clip_text
+
+    tcfg, _ = _clip_configs()
+    tcfg.eos_token_id = VOCAB - 1
+    hf = CLIPTextModelWithProjection(tcfg).eval()
+    ids, mask = text_batch
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids, dtype=torch.long),
+                 attention_mask=torch.tensor(mask, dtype=torch.long))
+
+    fx = CLIPTextEncoder(FxCfg(
+        vocab_size=VOCAB, hidden_size=H, intermediate_size=FF,
+        num_layers=LAYERS, num_heads=HEADS, max_position_embeddings=16,
+        eos_token_id=VOCAB - 1), with_projection=True, projection_dim=H)
+    params = {"params": convert_clip_text(hf.state_dict(), LAYERS)}
+    _, pooled = jax.jit(fx.apply)(params, jnp.asarray(ids),
+                                  jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(pooled),
+                               ref.text_embeds.numpy(),
+                               atol=2e-4, rtol=1e-3)
