@@ -1,0 +1,68 @@
+"""Shipped configs parse + build; checkpoint roundtrips; mismatch loads."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("path", sorted(
+    glob.glob(os.path.join(REPO, "configs", "*.json"))))
+def test_shipped_configs_parse_and_build(path):
+    """Every configs/*.json goes through the CLI parser and constructs
+    its (full-size) model object — catches schema drift."""
+    from sasvqa_tpu.core.config import get_video_qa_args
+    from sasvqa_tpu.models.presets import build_model
+
+    cfg = get_video_qa_args(["--config", path])
+    assert cfg.task in ("msvd_qa", "msrvtt_qa")
+    assert cfg.train_datasets[0].txt
+    family, model = build_model(cfg)
+    assert family in ("clip", "blip", "git")
+    # knob sanity vs BASELINE.md table
+    assert cfg.train_batch_size * cfg.gradient_accumulation_steps >= 32
+
+
+def test_model_saver_roundtrip(tmp_path):
+    from sasvqa_tpu.core.checkpoint import ModelSaver
+
+    params = {"w": jnp.arange(12.0).reshape(3, 4),
+              "nested": {"b": jnp.ones((5,))}}
+    saver = ModelSaver(str(tmp_path / "ckpt"))
+    saver.save(3, jax.device_get(params))
+    saver.save(7, jax.device_get(
+        jax.tree_util.tree_map(lambda x: x * 2, params)))
+    saver.wait()
+    assert saver.latest_step() == 7
+    restored = saver.restore(7, template=jax.device_get(params))
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.arange(12.0).reshape(3, 4) * 2)
+    restored3 = saver.restore(3, template=jax.device_get(params))
+    np.testing.assert_allclose(np.asarray(restored3["nested"]["b"]),
+                               np.ones((5,)))
+    saver.close()
+
+
+def test_merge_pretrained_mismatch_tolerance():
+    """Shape-tolerant partial loading with a key-diff report
+    (reference load_state_dict_with_mismatch, load_save.py:65-94)."""
+    from sasvqa_tpu.models.convert import merge_pretrained
+
+    init = {"a": jnp.zeros((2, 2)),
+            "head": {"kernel": jnp.zeros((4, 10))},
+            "extra": jnp.zeros((3,))}
+    ckpt = {"a": np.ones((2, 2)),
+            "head": {"kernel": np.ones((4, 999))}}  # mismatched classifier
+    merged, report = merge_pretrained(init, ckpt)
+    np.testing.assert_allclose(np.asarray(merged["a"]), 1.0)
+    # mismatched leaf keeps its init value and is reported
+    np.testing.assert_allclose(np.asarray(merged["head"]["kernel"]), 0.0)
+    assert any("head/kernel" in m for m in report["mismatched"])
+    assert any("extra" in m for m in report["missing_in_ckpt"])
+    assert any("/a" in m for m in report["loaded"])
