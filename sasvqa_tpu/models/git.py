@@ -310,6 +310,8 @@ class GITForCausalLM(nn.Module):
         pytree).  The text K/V cache is sized to ``max_text_len``.
         """
         b, lp = input_ids.shape
+        assert lp <= max_text_len, (
+            f"prompt width {lp} exceeds the decode budget {max_text_len}")
         attention_mask = (jnp.arange(lp)[None, :]
                           < prompt_len[:, None]).astype(jnp.int32)
         vis = self.encode_frames(pixel_values)
@@ -333,9 +335,13 @@ class GITForCausalLM(nn.Module):
             txt_kv.append((jnp.pad(k[:, :, m:], ((0, 0), (0, 0), (0, pad), (0, 0))),
                            jnp.pad(v[:, :, m:], ((0, 0), (0, 0), (0, pad), (0, 0)))))
         logits = self.output(h[:, m:]).astype(jnp.float32)  # (B, Lp, V)
-        # logits at each prompt's last token predict the first new token
+        # logits at each prompt's last token predict the first new token;
+        # clamp so batch-padding rows (prompt_len=0) read position 0
+        # instead of wrapping to -1 (their output is discarded upstream,
+        # but the gather must stay in-bounds)
+        last_pos = jnp.maximum(prompt_len - 1, 0)
         last = jnp.take_along_axis(
-            logits, (prompt_len - 1)[:, None, None].repeat(
+            logits, last_pos[:, None, None].repeat(
                 logits.shape[-1], axis=-1), axis=1)[:, 0]
         cache = {"img_kv": img_kv, "txt_kv": txt_kv, "cur_len": prompt_len}
         return last, cache
@@ -385,16 +391,23 @@ def greedy_generate(model: GITForCausalLM, params, input_ids: jax.Array,
     """Greedy decoding to ``max_text_len`` total text tokens per example.
 
     Replaces the reference's ``model.generate(max_length=50)``
-    (modeling.py:333): each example stops at [SEP] or when its own text
-    length (prompt + generated) reaches ``max_text_len``; finished rows
-    emit pad.  Returns (B, max_new) generated token ids.
-    jit-able: fixed trip count scan, static shapes.
+    (modeling.py:333) with the same budget semantics: each example stops
+    at [SEP] or when its own text length (prompt + generated) reaches
+    ``max_text_len``; finished rows emit pad.  Returns (B, max_new)
+    generated token ids.
+
+    jit-able with static output shape; decoding runs in a
+    ``lax.while_loop`` that exits as soon as *every* row is finished —
+    like HF generate's all-done early stop — so the default
+    ``max_new = max_text_len - 1`` budget costs only as many decode
+    steps as the longest answer in the batch actually needs.
     """
     eos = model.config.sep_token_id
     pad = model.config.pad_token_id
     if max_new_tokens is None:
         max_new_tokens = max_text_len - 1
     max_new = max_new_tokens
+    assert max_new >= 1, max_new
 
     logits, cache = model.apply(params, input_ids, prompt_len, pixel_values,
                                 max_text_len, method=model.prompt_fill)
@@ -402,9 +415,15 @@ def greedy_generate(model: GITForCausalLM, params, input_ids: jax.Array,
     over0 = prompt_len >= max_text_len         # no room for any new token
     done0 = (first == eos) | over0
     tok0 = jnp.where(done0, pad, first)
+    buf = jnp.full((input_ids.shape[0], max_new), pad, dtype=tok0.dtype)
+    buf = buf.at[:, 0].set(tok0)
 
-    def body(carry, _):
-        tok, done, cache = carry
+    def cond(carry):
+        i, _, done, _, _ = carry
+        return (i < max_new) & ~jnp.all(done)
+
+    def body(carry):
+        i, tok, done, cache, buf = carry
         logits, cache = model.apply(params, tok, cache,
                                     method=model.decode_step)
         nxt = jnp.argmax(logits, axis=-1)
@@ -413,9 +432,9 @@ def greedy_generate(model: GITForCausalLM, params, input_ids: jax.Array,
         nxt = jnp.where(done | over, pad, nxt)
         done = done | over | (nxt == eos)
         nxt = jnp.where(nxt == eos, pad, nxt)
-        return (nxt, done, cache), nxt
+        buf = buf.at[:, i].set(nxt)
+        return (i + 1, nxt, done, cache, buf)
 
-    (_, _, _), toks = jax.lax.scan(
-        body, (tok0, done0, cache), None, length=max_new - 1)
-    out = jnp.concatenate([tok0[None], toks], axis=0)    # (max_new, B)
-    return out.T
+    carry = (jnp.asarray(1, jnp.int32), tok0, done0, cache, buf)
+    _, _, _, _, buf = jax.lax.while_loop(cond, body, carry)
+    return buf

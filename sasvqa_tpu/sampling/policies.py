@@ -9,7 +9,11 @@ use.  Policies (reference semantics preserved exactly):
 - ``uniform``:   indices 0, n, 2n, ... (stride = nframe!  The reference
   strides by nframe and keeps ceil(K/nframe) frames — NOT "pick nframe
   uniformly".  dataset_video_qa.py:204-206.)
-- ``random``:    nframe distinct uniform picks (multinomial w/o replacement)
+- ``random``:    nframe distinct *index-weighted* picks: the reference
+  draws ``torch.multinomial(torch.arange(K).float(), nframe)`` without
+  replacement (dataset_video_qa.py:207-209), so frame i is drawn with
+  probability proportional to i — frame 0 is never sampled.  Replicated
+  exactly (sequential renormalized draws).
 - ``single``:    the middle frame (K//2), one frame
 - ``question-caption`` (MIF): first nframe of the precomputed
   ``sampled_inds`` importance ordering (dataset_video_qa.py:356-359)
@@ -52,10 +56,22 @@ def sample_indices(policy: str, num_stored: int, nframe: int,
         return np.full((batch_size, 1), mid, dtype=np.int32)
     if policy == "random":
         assert rng is not None, "random policy needs an rng"
-        out = np.stack([
-            rng.choice(num_stored, size=nframe, replace=False)
-            for _ in range(batch_size)])
-        return out.astype(np.int32)
+        # torch.multinomial(arange(K), nframe, replacement=False): index-
+        # weighted sequential draws (dataset_video_qa.py:207-209); frame 0
+        # has weight 0 so nframe must leave K-1 samplable frames
+        assert nframe <= num_stored - 1, (
+            f"random policy: nframe={nframe} > {num_stored - 1} nonzero-"
+            f"weight frames (frame 0 has probability 0)")
+        base_w = np.arange(num_stored, dtype=np.float64)
+        out = np.empty((batch_size, nframe), dtype=np.int32)
+        for b in range(batch_size):
+            w = base_w.copy()
+            for j in range(nframe):
+                p = w / w.sum()
+                pick = int(rng.choice(num_stored, p=p))
+                out[b, j] = pick
+                w[pick] = 0.0
+        return out
     if policy == "question-caption":
         assert sampled_inds is not None, "MIF policy needs sampled_inds"
         si = np.asarray(sampled_inds)[:, :nframe]

@@ -287,9 +287,13 @@ def start_training(cfg) -> Dict[str, Any]:
         eval_collator = collator
     elif family == "git":
         train_step = train_steps.make_git_train_step(mesh)
+        # default budget = the reference's generate(max_length=50)-total
+        # semantics (modeling.py:333): max_new defaults to max_text_len-1
+        # inside greedy_generate; the while_loop early-exits when every
+        # row is done, so the bigger static budget costs nothing extra
         eval_step = train_steps.make_git_eval_step(
             model, max_text_len=cfg.get("gen_max_text_len", 50),
-            max_new_tokens=cfg.get("gen_max_new_tokens", 32), mesh=mesh)
+            max_new_tokens=cfg.get("gen_max_new_tokens"), mesh=mesh)
         eval_collator = GITCollator(
             tokenizer, max_txt_len=cfg.max_txt_len,
             max_seq_len=cfg.get("max_seq_len", cfg.max_txt_len + 12),

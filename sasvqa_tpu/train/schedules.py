@@ -41,9 +41,10 @@ def multi_step(learning_rate: float, milestones: Sequence[int],
     """MultiStepLR: lr * gamma^(number of passed milestones).
 
     ``milestones`` are in *scheduler steps*; the caller converts epochs
-    to steps.  (Reference quirk preserved upstream: the live loop steps
-    its scheduler once per validation block, run_video_qa.py:524-525 —
-    see train/loop.py for how milestones are scaled.)
+    to steps (sasvqa_tpu/train/steps.make_optimizer).  Reference quirk
+    NOT preserved: the live loop steps its scheduler once per validation
+    block (run_video_qa.py:524-525); here milestones are global-step
+    based, a documented deliberate divergence.
     """
     def sched(step):
         import jax.numpy as jnp

@@ -46,11 +46,15 @@ _OPTIMIZERS = {
     "sgd": optax.sgd,
 }
 
-# parameter-path name fragments that never get weight decay (the
-# reference's no-decay lists for bias/LayerNorm, optimization/utils.py
-# no_decay convention, generalised to flax param naming)
-NO_DECAY_FRAGMENTS = ("bias", "_ln", "layer_norm", "layernorm", "norm",
-                      "scale", "embedding", "embeddings")
+# parameter-path name fragments that never get weight decay.  The
+# reference's no_decay list is exactly ['bias', 'LayerNorm.bias',
+# 'LayerNorm.weight'] (optimization/utils.py:124); in flax naming
+# LayerNorm.weight is the leaf "scale" and every torch bias is a leaf
+# "bias", so ("bias", "scale") is the exact equivalent — embeddings DO
+# get weight decay, as in the reference.  (No non-LayerNorm param leaf
+# in this repo is named "scale"; CLIP's logit_scale is 0-dim and is
+# excluded by the ndim>=2 rule either way.)
+NO_DECAY_FRAGMENTS = ("bias", "scale")
 
 
 def decay_mask(params) -> Any:
@@ -265,9 +269,12 @@ def make_classifier_eval_step(mesh: Optional[Mesh] = None):
 
 
 def make_git_eval_step(model, max_text_len: int = 50,
-                       max_new_tokens: int = 32,
+                       max_new_tokens: Optional[int] = None,
                        mesh: Optional[Mesh] = None):
-    """Generative eval: greedy decode -> (B, max_new) token ids."""
+    """Generative eval: greedy decode -> (B, max_new) token ids.
+    max_new_tokens=None decodes to the full max_text_len budget (the
+    reference's generate(max_length=50)-total semantics) with all-done
+    early exit inside greedy_generate."""
     from sasvqa_tpu.models.git import greedy_generate
 
     def step(state: TrainState, batch: Dict[str, Any]):

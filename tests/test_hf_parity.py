@@ -226,6 +226,35 @@ def test_git_greedy_generate_matches_hf(text_batch, pixels):
         assert our_toks == ref_toks, (b, our_toks, ref_toks)
 
 
+def test_git_generate_with_padded_rows(text_batch, pixels):
+    """Batch-padding rows (prompt_len=0, as produced by
+    pad_batch_to_multiple in eval) must not disturb real rows' outputs
+    and must keep the last-token gather in-bounds (models/git.py
+    prompt_fill clamps prompt_len-1 to >= 0)."""
+    from sasvqa_tpu.models.git import greedy_generate
+
+    fx = _fx_git()
+    ids, mask = text_batch
+    prompt_len = mask.sum(-1)
+    frames = pixels[:, None]
+    params = jax.jit(fx.init)(jax.random.key(0), jnp.asarray(ids),
+                              jnp.asarray(mask), jnp.asarray(frames))
+
+    base = np.asarray(greedy_generate(
+        fx, params, jnp.asarray(ids), jnp.asarray(prompt_len),
+        jnp.asarray(frames), max_text_len=16))
+
+    pad_rows = 2
+    ids_p = np.pad(ids, ((0, pad_rows), (0, 0)))
+    pl_p = np.pad(prompt_len, (0, pad_rows))          # prompt_len=0 rows
+    frames_p = np.pad(frames, ((0, pad_rows),) + ((0, 0),) * (frames.ndim - 1))
+    padded = np.asarray(greedy_generate(
+        fx, params, jnp.asarray(ids_p), jnp.asarray(pl_p),
+        jnp.asarray(frames_p), max_text_len=16))
+    assert np.isfinite(padded).all() if padded.dtype.kind == "f" else True
+    np.testing.assert_array_equal(padded[:ids.shape[0]], base)
+
+
 def test_blip_parity(text_batch, pixels):
     from transformers import BlipTextConfig, BlipVisionConfig, BlipConfig
     from transformers.models.blip.modeling_blip import BlipVisionModel

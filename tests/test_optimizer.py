@@ -26,7 +26,9 @@ def _params():
     }
 
 
-def test_decay_mask_excludes_bias_norm_embeddings():
+def test_decay_mask_matches_reference_no_decay_sets():
+    """Reference no_decay = bias + LayerNorm.{weight,bias} ONLY
+    (optimization/utils.py:124) — embeddings DO get weight decay."""
     mask = decay_mask(_params())
     assert mask["classifier"]["kernel"] is True
     assert mask["classifier"]["bias"] is False
@@ -34,7 +36,73 @@ def test_decay_mask_excludes_bias_norm_embeddings():
     assert enc["layers_0"]["self_attn"]["qkv"]["kernel"] is True
     assert enc["layers_0"]["self_attn"]["qkv"]["bias"] is False
     assert enc["layers_0"]["layer_norm1"]["scale"] is False
-    assert enc["token_embedding"]["embedding"] is False
+    assert enc["layers_0"]["layer_norm1"]["bias"] is False
+    assert enc["token_embedding"]["embedding"] is True
+
+
+def test_adamw_step_matches_torch_reference_groups():
+    """One AdamW step == torch.optim.AdamW with the reference's param
+    groups (decay on everything except bias/LayerNorm,
+    optimization/utils.py:96-153; live loop uses torch.optim.AdamW via
+    getattr, run_video_qa.py:415-422)."""
+    import torch
+
+    lr, wd, betas, eps = 2e-3, 0.1, (0.9, 0.98), 1e-8
+    rng = np.random.default_rng(3)
+    shapes = {
+        ("dense", "kernel"): (6, 4), ("dense", "bias"): (4,),
+        ("layer_norm", "scale"): (6,), ("layer_norm", "bias"): (6,),
+        ("embed", "embedding"): (9, 6),
+    }
+    vals = {k: rng.normal(size=s).astype(np.float32)
+            for k, s in shapes.items()}
+    gvals = {k: rng.normal(size=s).astype(np.float32)
+             for k, s in shapes.items()}
+
+    # --- torch side: reference grouping by name fragments
+    torch_name = {("dense", "kernel"): "dense.weight",
+                  ("dense", "bias"): "dense.bias",
+                  ("layer_norm", "scale"): "LayerNorm.weight",
+                  ("layer_norm", "bias"): "LayerNorm.bias",
+                  ("embed", "embedding"): "embeddings.word_embeddings.weight"}
+    no_decay = ["bias", "LayerNorm.bias", "LayerNorm.weight"]
+    tparams = {k: torch.nn.Parameter(torch.from_numpy(v.copy()))
+               for k, v in vals.items()}
+    groups = [
+        {"params": [p for k, p in tparams.items()
+                    if not any(nd in torch_name[k] for nd in no_decay)],
+         "weight_decay": wd},
+        {"params": [p for k, p in tparams.items()
+                    if any(nd in torch_name[k] for nd in no_decay)],
+         "weight_decay": 0.0},
+    ]
+    opt = torch.optim.AdamW(groups, lr=lr, betas=betas, eps=eps)
+    for k, p in tparams.items():
+        p.grad = torch.from_numpy(gvals[k].copy())
+    opt.step()
+
+    # --- jax side
+    def nest(d):
+        out = {}
+        for (mod, leaf), v in d.items():
+            out.setdefault(mod, {})[leaf] = jnp.asarray(v)
+        return out
+
+    params, grads = nest(vals), nest(gvals)
+    cfg = ConfigDict(dict(optim="adamw", learning_rate=lr, weight_decay=wd,
+                          betas=list(betas), num_train_epochs=1,
+                          gradient_accumulation_steps=1, grad_norm=-1,
+                          decay="constant"))
+    tx = make_optimizer(cfg, total_steps=10, params=params)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+
+    for (mod, leaf), _ in shapes.items():
+        np.testing.assert_allclose(
+            np.asarray(new[mod][leaf]),
+            tparams[(mod, leaf)].detach().numpy(),
+            rtol=1e-5, atol=1e-6, err_msg=f"{mod}/{leaf}")
 
 
 def test_lr_mul_mask_prefix():

@@ -30,6 +30,44 @@ def test_random_no_replacement():
         assert all(0 <= i < 8 for i in row)
 
 
+def test_random_is_index_weighted_multinomial():
+    """Reference draws torch.multinomial(arange(K), nframe) — frame i
+    with probability proportional to i, frame 0 never
+    (dataset_video_qa.py:207-209)."""
+    k, n = 6, 1
+    rng = np.random.default_rng(7)
+    draws = policies.sample_indices("random", k, n, rng=rng,
+                                    batch_size=6000).ravel()
+    assert (draws != 0).all(), "frame 0 has weight 0, must never appear"
+    counts = np.bincount(draws, minlength=k).astype(np.float64)
+    expected = np.arange(k) / np.arange(k).sum()
+    np.testing.assert_allclose(counts / counts.sum(), expected, atol=0.02)
+
+
+def test_random_matches_torch_multinomial_distribution():
+    """Multi-draw (without replacement) marginals match torch's on the
+    same weights."""
+    import torch
+    k, n, trials = 5, 2, 4000
+    torch.manual_seed(0)
+    w = torch.arange(k).float().expand(trials, -1)
+    t_draws = torch.multinomial(w, num_samples=n, replacement=False)
+    t_freq = np.bincount(t_draws.numpy().ravel(), minlength=k) / (trials * n)
+    rng = np.random.default_rng(11)
+    j_draws = policies.sample_indices("random", k, n, rng=rng,
+                                      batch_size=trials)
+    j_freq = np.bincount(j_draws.ravel(), minlength=k) / (trials * n)
+    np.testing.assert_allclose(j_freq, t_freq, atol=0.025)
+
+
+def test_random_rejects_nframe_equal_k():
+    # torch.multinomial errors when num_samples exceeds the K-1 nonzero-
+    # weight categories; replicate as an assertion
+    with pytest.raises(AssertionError):
+        policies.sample_indices("random", 4, 4,
+                                rng=np.random.default_rng(0))
+
+
 def test_question_caption_uses_first_nframe():
     si = np.array([[3, 7, 1, 5, 0, 2, 4, 6],
                    [2, 0, 6, 1, 3, 4, 5, 7]])
