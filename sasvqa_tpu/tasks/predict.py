@@ -51,6 +51,24 @@ def predict(args) -> str:
     family, model = build_model(cfg, dtype=jnp.bfloat16)
     tokenizer = build_tokenizer(cfg, family)
 
+    def overlay_weights(params):
+        """Apply --weights (HF dir) and/or --orbax_ckpt (trained
+        ModelSaver snapshot) on freshly initialized params."""
+        if args.weights:
+            params = load_pretrained_params(family, model, params,
+                                            args.weights)
+        if args.orbax_ckpt:
+            from sasvqa_tpu.core.checkpoint import ModelSaver
+            saver = ModelSaver(args.orbax_ckpt)
+            step = args.orbax_step if args.orbax_step > 0 \
+                else saver.latest_step()
+            if step is None:
+                raise FileNotFoundError(
+                    f"no eval snapshots under {args.orbax_ckpt}")
+            LOGGER.info(f"loading Orbax snapshot model_step_{step}")
+            params = saver.restore(int(step), template=params)
+        return params
+
     frames = jnp.asarray(load_frames(args.video, args.nframe,
                                      args.img_size))
 
@@ -66,9 +84,7 @@ def predict(args) -> str:
         plen = jnp.asarray([lp], jnp.int32)
         params = jax.jit(model.init)(jax.random.key(0), ids,
                                      jnp.ones_like(ids), frames[:, :1])
-        if args.weights:
-            params = load_pretrained_params(family, model, params,
-                                            args.weights)
+        params = overlay_weights(params)
         out = greedy_generate(model, params, ids, plen, frames,
                               max_text_len=args.max_length)
         text = tokenizer.decode(np.asarray(out[0]))
@@ -85,9 +101,7 @@ def predict(args) -> str:
     ids = jnp.asarray(enc["input_ids"])
     mask = jnp.asarray(enc["attention_mask"])
     params = jax.jit(model.init)(jax.random.key(0), ids, mask, frames)
-    if args.weights:
-        params = load_pretrained_params(family, model, params,
-                                        args.weights)
+    params = overlay_weights(params)
     out = jax.jit(lambda p: model.apply(p, ids, mask, frames))(params)
     pred = int(np.asarray(out["logits"]).argmax())
     return label2ans.get(pred, str(pred))
@@ -100,6 +114,10 @@ def build_argparser():
     p.add_argument("--model", default="microsoft/git-base-msrvtt-qa")
     p.add_argument("--weights", default=None,
                    help="local HF checkpoint dir (converted on load)")
+    p.add_argument("--orbax_ckpt", default=None,
+                   help="a training run's ckpt/ dir (ModelSaver eval "
+                        "snapshots); loads --orbax_step or the latest")
+    p.add_argument("--orbax_step", type=int, default=-1)
     p.add_argument("--tokenizer_dir", default=None)
     p.add_argument("--ans2label", default=None,
                    help="answer vocab json (classifier models)")

@@ -281,6 +281,28 @@ def start_training(cfg) -> Dict[str, Any]:
                            * cfg.gradient_accumulation_steps), 1))
     state = restorer.restore_into(state)
 
+    # --do_inference evaluates a trained eval snapshot: restore
+    # ckpt/model_step_{N} (or the latest one) into state.params.  This is
+    # the working equivalent of the reference's ModelSaver loads
+    # (utils/load_save.py:37-62; the reference's own --do_inference was a
+    # no-op and its snapshot-loading eval lived only on dead paths,
+    # run_video_retrieval.py:693-724).
+    if cfg.do_inference:
+        step_req = int(cfg.get("inference_model_step", -1) or -1)
+        target = step_req if step_req > 0 else saver.latest_step()
+        if target is None:
+            LOGGER.warning("inference mode without a saved snapshot: "
+                           "evaluating fresh/pretrained-overlay params")
+        else:
+            LOGGER.info(f"inference: restoring eval snapshot "
+                        f"model_step_{target} from {saver.dir}")
+            loaded = saver.restore(int(target), template=state.params)
+            # restored leaves are committed to one device; replicate over
+            # the mesh so sharded eval steps accept them
+            from sasvqa_tpu.parallel.mesh import replicated
+            loaded = jax.device_put(loaded, replicated(mesh))
+            state = state.replace(params=loaded)
+
     if is_mc:
         train_step = train_steps.make_mc_train_step(cfg.num_labels, mesh)
         eval_step = train_steps.make_mc_eval_step(cfg.num_labels, mesh)

@@ -155,6 +155,37 @@ def test_blip_end_to_end(synth, tmp_path):
     assert "overall_acc" in result["val"]
 
 
+def test_inference_from_saved_snapshot(synth, tmp_path):
+    """train -> snapshot -> fresh --do_inference 1 --inference_model_step N
+    reproduces the in-loop validation score (the reference's ModelSaver
+    load pattern, utils/load_save.py:37-62, which its live loop never
+    wired up)."""
+    from sasvqa_tpu.tasks.run_video_qa import main
+    cfg_path = _write_config(
+        tmp_path, synth,
+        {"pretrained_model": "tiny-clip", "vocab_size": 512},
+        num_train_epochs=4)  # 4 steps, valid/save at steps 2 and 4
+
+    trained = main(["--task", "msvd_qa", "--config", cfg_path])
+    assert trained["global_step"] == 4
+    ckpt_dir = tmp_path / "out" / "ckpt"
+    assert ckpt_dir.exists() and any(ckpt_dir.iterdir())
+
+    # explicit step
+    inf = main(["--task", "msvd_qa", "--config", cfg_path,
+                "--do_inference", "1", "--inference_model_step", "4"])
+    assert inf["val"] == trained["val"], (inf["val"], trained["val"])
+    # latest-snapshot default (-1)
+    inf2 = main(["--task", "msvd_qa", "--config", cfg_path,
+                 "--do_inference", "1"])
+    assert inf2["val"] == trained["val"]
+
+    # a missing step must fail loudly, not silently eval fresh params
+    with pytest.raises(Exception):
+        main(["--task", "msvd_qa", "--config", cfg_path,
+              "--do_inference", "1", "--inference_model_step", "99"])
+
+
 def test_auto_resume_from_restore_checkpoint(synth, tmp_path):
     """Preemption recovery: a second run with the same output_dir resumes
     from the restore checkpoint instead of step 0 (reference
