@@ -50,15 +50,21 @@ class FrameStoreWriter:
 
 class FrameStoreReader:
     """Lazy per-row reads; safe to use from multiple loader threads via
-    one handle per thread (h5py is not thread-safe on a shared handle)."""
+    one handle per thread (h5py is not thread-safe on a shared handle).
+
+    Fork-safe: a handle opened in the parent is never reused in a forked
+    worker (HDF5 handles shared across fork corrupt reads) — the reader
+    tracks the opening pid and reopens per process."""
 
     def __init__(self, h5_path: str):
         self._path = h5_path
         self._f: Optional[h5py.File] = None
+        self._pid: Optional[int] = None
 
     def _ds(self):
-        if self._f is None:
+        if self._f is None or self._pid != os.getpid():
             self._f = h5py.File(self._path, "r")
+            self._pid = os.getpid()
         return self._f[DATASET_NAME]
 
     @property

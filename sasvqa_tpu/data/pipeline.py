@@ -46,24 +46,112 @@ def shard_for_host(indices: np.ndarray,
     return indices[pi::pc]
 
 
+def collate_indices(dataset, collator, idx, rng) -> Dict[str, Any]:
+    items = [dataset.get_group(int(i)) for i in idx]
+    return collator(items, rng=rng)
+
+
+# -- worker-pool collation (the reference's DataLoader n_workers=4
+#    equivalent, run_video_qa.py:184) ----------------------------------
+#
+# fork-started processes inherit dataset/collator without pickling;
+# each task carries its batch indices + a seed so collation randomness
+# (frame-sampling policies) is deterministic regardless of which worker
+# runs it or in what order tasks complete (results are consumed in
+# submission order via imap).
+
+_WORKER_STATE: Dict[str, Any] = {}
+
+
+def _pool_init(dataset, collator):
+    _WORKER_STATE["dataset"] = dataset
+    _WORKER_STATE["collator"] = collator
+
+
+def _pool_collate(task):
+    idx, seed = task
+    rng = np.random.default_rng(seed)
+    return collate_indices(_WORKER_STATE["dataset"],
+                           _WORKER_STATE["collator"], idx, rng)
+
+
+class CollatorPool:
+    """Process pool running get_group + collate off the main process.
+
+    Must be created before any TPU/jax client initializes in the parent
+    when possible; forked children never touch jax.  HDF5 handles are
+    reopened per process (FrameStoreReader tracks pids).
+    """
+
+    def __init__(self, dataset, collator, n_workers: int):
+        import multiprocessing as mp
+        assert n_workers > 0
+        ctx = mp.get_context("fork")
+        self._pool = ctx.Pool(n_workers, initializer=_pool_init,
+                              initargs=(dataset, collator))
+
+    def imap(self, tasks):
+        """tasks: iterable of (indices, seed) -> ordered batch iterator."""
+        return self._pool.imap(_pool_collate, tasks, chunksize=1)
+
+    def close(self):
+        self._pool.terminate()
+        self._pool.join()
+
+
 def epoch_batches(dataset, collator, batch_size: int, shuffle: bool,
                   rng: Optional[np.random.Generator] = None,
-                  drop_last: bool = False) -> Iterator[Dict[str, Any]]:
-    """One epoch of collated host batches."""
-    for idx in batch_indices(len(dataset), batch_size, shuffle, rng,
-                             drop_last):
-        items = [dataset.get_group(int(i)) for i in idx]
-        yield collator(items, rng=rng)
+                  drop_last: bool = False,
+                  process_index: Optional[int] = None,
+                  process_count: Optional[int] = None,
+                  pool: Optional[CollatorPool] = None,
+                  ) -> Iterator[Dict[str, Any]]:
+    """One epoch of collated host batches.
+
+    Multi-host: every host computes the same epoch permutation (same
+    seeded rng) and takes its disjoint ``shard_for_host`` slice, then
+    batches locally — ``batch_size`` is the PER-HOST batch size.  This
+    replaces the reference's DistributedSampler pattern
+    (run_video_retrieval.py:109-111).
+    """
+    order = np.arange(len(dataset))
+    if shuffle:
+        assert rng is not None
+        order = rng.permutation(len(dataset))
+    pc = process_count
+    if pc is None:
+        import jax
+        pc = jax.process_count()
+    if pc > 1:
+        order = shard_for_host(order, process_index, pc)
+    batches = [order[i:i + batch_size]
+               for i in range(0, len(order), batch_size)]
+    if drop_last and batches and len(batches[-1]) < batch_size:
+        batches.pop()
+    if pool is None:
+        for idx in batches:
+            yield collate_indices(dataset, collator, idx, rng)
+    else:
+        # per-batch seeds drawn up-front in order => deterministic
+        seeds = (rng.integers(0, 2 ** 63, size=len(batches))
+                 if rng is not None else np.arange(len(batches)))
+        yield from pool.imap(list(zip(batches, seeds)))
 
 
 def infinite_batches(dataset, collator, batch_size: int,
                      rng: np.random.Generator,
-                     drop_last: bool = True) -> Iterator[Dict[str, Any]]:
+                     drop_last: bool = True,
+                     process_index: Optional[int] = None,
+                     process_count: Optional[int] = None,
+                     pool: Optional[CollatorPool] = None,
+                     ) -> Iterator[Dict[str, Any]]:
     """InfiniteIterator equivalent (dataloader.py:147-160): reshuffles
     each epoch, never raises StopIteration."""
     while True:
         yield from epoch_batches(dataset, collator, batch_size,
-                                 shuffle=True, rng=rng, drop_last=drop_last)
+                                 shuffle=True, rng=rng, drop_last=drop_last,
+                                 process_index=process_index,
+                                 process_count=process_count, pool=pool)
 
 
 class MetaLoader:

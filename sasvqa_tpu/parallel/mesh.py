@@ -50,11 +50,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """device_put a host batch pytree with the batch axis sharded on
-    ``data``.  Non-array leaves pass through."""
+    ``data``.  Non-array leaves pass through.
+
+    Multi-host: each host holds only its per-host slice of the global
+    batch (epoch_batches shards sample indices by process), so the
+    global array is assembled from process-local shards."""
     sharding = batch_sharding(mesh)
+    multihost = jax.process_count() > 1
 
     def put(x):
         if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            if multihost:
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x))
             return jax.device_put(x, sharding)
         return x
 

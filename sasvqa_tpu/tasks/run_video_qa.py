@@ -373,9 +373,19 @@ def start_training(cfg) -> Dict[str, Any]:
     micro = 0
     debug_cap = 3
 
+    # per-host batch: the global batch (B x all devices) split across
+    # hosts; epoch_batches gives each host a disjoint sample slice and
+    # shard_batch assembles the global array from the local shards
+    n_hosts = jax.process_count()
+    per_host_batch = max(cfg.train_batch_size * n_dev // n_hosts, 1)
+    n_workers = int(cfg.get("n_workers", 0) or 0)
+    pool = None
+    if n_workers > 0:
+        from sasvqa_tpu.data.pipeline import CollatorPool
+        pool = CollatorPool(train_ds, collator, n_workers)
     prefetch = DevicePrefetcher(
-        infinite_batches(train_ds, collator,
-                         cfg.train_batch_size * n_dev, host_rng),
+        infinite_batches(train_ds, collator, per_host_batch, host_rng,
+                         pool=pool),
         mesh=mesh)
     t_start = time.time()
     for batch, host_meta in (prefetch if cfg.num_train_steps > 0 else ()):
@@ -409,6 +419,8 @@ def start_training(cfg) -> Dict[str, Any]:
             # MultiSteps update cycle
             if preempted["flag"]:
                 prefetch.close()
+                if pool is not None:
+                    pool.close()
                 restorer.force_save(int(state.step), state)
                 restorer.wait()
                 LOGGER.info("preemption checkpoint saved; exiting")
@@ -421,6 +433,8 @@ def start_training(cfg) -> Dict[str, Any]:
             break
 
     prefetch.close()  # release staged device batches before final eval
+    if pool is not None:
+        pool.close()
     res_v, res_t = run_validation("final_")
     saver.wait()
     restorer.wait()

@@ -81,7 +81,8 @@ def test_git_end_to_end(synth, tmp_path):
         tmp_path, synth,
         {"pretrained_model": "tiny-git", "vocab_size": 512, "img_len": 2},
         samp_policy="question-caption",
-        gen_max_text_len=24, gen_max_new_tokens=6)
+        gen_max_text_len=24, gen_max_new_tokens=6,
+        n_workers=2)  # exercise the CollatorPool path end-to-end
     result = main(["--task", "msvd_qa", "--config", cfg_path])
     assert np.isfinite(result["train_loss"])
     assert "overall_acc" in result["val"]

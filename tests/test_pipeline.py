@@ -35,6 +35,65 @@ def test_shard_for_host_disjoint_cover():
             assert not set(shards[i]) & set(shards[j])
 
 
+class _IdxDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def get_group(self, i):
+        return i
+
+
+def _idx_collator(items, rng=None):
+    # optionally consumes rng like a sampling policy would
+    jitter = rng.integers(0, 1000) if rng is not None else 0
+    return {"idx": np.asarray(items), "jitter": np.asarray([jitter])}
+
+
+def test_epoch_batches_hosts_see_disjoint_data():
+    """Multi-host input sharding: same seed -> same epoch permutation ->
+    disjoint per-host slices that cover the dataset (DistributedSampler
+    replacement, run_video_retrieval.py:109-111)."""
+    from sasvqa_tpu.data.pipeline import epoch_batches
+    ds = _IdxDataset(23)
+    per_host = []
+    for pi in range(2):
+        rng = np.random.default_rng(5)  # every host seeds identically
+        got = [b["idx"] for b in epoch_batches(
+            ds, _idx_collator, 4, shuffle=True, rng=rng,
+            process_index=pi, process_count=2)]
+        per_host.append(np.concatenate(got))
+    assert not set(per_host[0]) & set(per_host[1])
+    assert sorted(np.concatenate(per_host).tolist()) == list(range(23))
+
+
+def test_epoch_batches_worker_pool_matches_serial_and_is_deterministic():
+    from sasvqa_tpu.data.pipeline import CollatorPool, epoch_batches
+    ds = _IdxDataset(17)
+    pool = CollatorPool(ds, _idx_collator, n_workers=2)
+    try:
+        serial = [b["idx"] for b in epoch_batches(
+            ds, _idx_collator, 4, shuffle=True,
+            rng=np.random.default_rng(3), process_count=1)]
+        pooled1 = list(epoch_batches(
+            ds, _idx_collator, 4, shuffle=True,
+            rng=np.random.default_rng(3), process_count=1, pool=pool))
+        pooled2 = list(epoch_batches(
+            ds, _idx_collator, 4, shuffle=True,
+            rng=np.random.default_rng(3), process_count=1, pool=pool))
+    finally:
+        pool.close()
+    # same batch composition and order as the serial path
+    for s, p in zip(serial, pooled1):
+        np.testing.assert_array_equal(s, p["idx"])
+    # bitwise deterministic across runs, incl. per-batch collation rng
+    for a, b in zip(pooled1, pooled2):
+        np.testing.assert_array_equal(a["idx"], b["idx"])
+        np.testing.assert_array_equal(a["jitter"], b["jitter"])
+
+
 def test_prefetcher_preserves_order_and_host_keys():
     def gen():
         for i in range(5):

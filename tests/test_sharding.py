@@ -57,6 +57,71 @@ def test_pad_batch_to_multiple():
     assert out["question_ids"] == [1] * 5
 
 
+def _tiny_state(total_steps=10, optim="adamw"):
+    from sasvqa_tpu.models.clip import CLIPTextConfig, CLIPVisionConfig
+    from sasvqa_tpu.models.video_qa import CLIPVideoQA, ClassifierHeadConfig
+    from sasvqa_tpu.core.config import ConfigDict
+    from sasvqa_tpu.train import steps as ts
+
+    tc = CLIPTextConfig(vocab_size=64, hidden_size=16, intermediate_size=32,
+                        num_layers=1, num_heads=2,
+                        max_position_embeddings=8, eos_token_id=63)
+    vc = CLIPVisionConfig(hidden_size=16, intermediate_size=32, num_layers=1,
+                          num_heads=2, image_size=16, patch_size=8,
+                          projection_dim=16)
+    model = CLIPVideoQA(tc, vc, ClassifierHeadConfig(num_labels=5))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 63, size=(8, 6)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    px = jnp.asarray(rng.normal(size=(8, 2, 16, 16, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 5, size=(8,)), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), ids, mask, px)
+    cfg = ConfigDict(dict(optim=optim, learning_rate=1e-3,
+                          num_train_epochs=1, gradient_accumulation_steps=1,
+                          grad_norm=1.0))
+    state = ts.create_train_state(model, params, cfg,
+                                  total_steps=total_steps)
+    batch = {"text_input_ids": ids, "text_attention_mask": mask,
+             "visual_inputs": px, "labels": labels}
+    return ts, state, batch
+
+
+def test_fsdp_step_matches_replicated():
+    """A train step with params sharded on the fsdp axis produces the
+    same loss and updated params as the replicated run (ZeRO-3-style
+    sharding is a layout choice, not a numerics choice).  SGD isolates
+    the layout comparison: Adam's g/|g| normalization would amplify
+    reduction-order noise on near-zero gradients into sign flips."""
+    from sasvqa_tpu.parallel.mesh import fsdp_param_sharding
+
+    ts, state_a, batch = _tiny_state(optim="sgd")
+    step_plain = ts.make_classifier_train_step(mesh=None)
+    new_a, m_a = step_plain(state_a, dict(batch), jax.random.key(1))
+    ref_params = jax.device_get(new_a.params)
+    ref_loss = float(m_a["loss"])
+
+    fmesh = make_mesh(devices=jax.devices("cpu"), shape=(4, 2),
+                      axes=("data", "fsdp"))
+    ts, state_b, batch = _tiny_state(optim="sgd")
+    p_shard = fsdp_param_sharding(state_b.params, fmesh, min_size=64)
+    specs = {s.spec for s in jax.tree_util.tree_leaves(p_shard)}
+    assert any(s != P() for s in specs), "no param actually sharded"
+    sharded_params = jax.tree_util.tree_map(jax.device_put,
+                                            state_b.params, p_shard)
+    opt_state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(fmesh, P())),
+        state_b.opt_state)
+    state_b = state_b.replace(params=sharded_params, opt_state=opt_state)
+    step_fsdp = ts.make_classifier_train_step(fmesh)
+    new_b, m_b = step_fsdp(state_b, shard_batch(batch, fmesh),
+                           jax.random.key(1))
+    assert float(m_b["loss"]) == pytest.approx(ref_loss, rel=1e-6)
+    for pa, pb in zip(jax.tree_util.tree_leaves(ref_params),
+                      jax.tree_util.tree_leaves(jax.device_get(new_b.params))):
+        np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
+                                   rtol=2e-6, atol=2e-7)
+
+
 def test_train_step_on_mesh(mesh):
     """Tiny classifier train step sharded over the mesh runs and the
     params stay replicated."""
