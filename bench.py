@@ -71,11 +71,16 @@ def main():
         params, opt_state, loss = train_step(params, opt_state, *args)
         float(loss)
 
-    n_steps = 10
+    # Steps are dispatched asynchronously and synced ONCE at the end (the
+    # data dependency through donated params orders them); this measures
+    # device throughput the way the training loop actually runs — it
+    # batches metric fetches instead of syncing per step (a per-step
+    # fetch costs a full host round-trip, ~34 ms over a tunneled chip).
+    n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         params, opt_state, loss = train_step(params, opt_state, *args)
-        float(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     n_chips = len(jax.devices())

@@ -367,11 +367,40 @@ def start_training(cfg) -> Dict[str, Any]:
 
     running_loss = RunningMeter("train_loss")
     dropout_key = jax.random.fold_in(key, 1)
-    global_step = int(state.step) // cfg.gradient_accumulation_steps
+    start_micro = int(state.step)  # single host fetch before the hot loop
+    global_step = start_micro // cfg.gradient_accumulation_steps
     total_correct = total_preds = 0
     last_scores: Dict[str, Any] = {}
     micro = 0
     debug_cap = 3
+    log_every = 10
+
+    # Device-throughput discipline: the hot loop never fetches scalars
+    # per step (a host sync per step costs ~34 ms over a tunneled TPU and
+    # stalls the dispatch pipeline anywhere).  Metrics accumulate as
+    # device scalars and flush as ONE stacked transfer at log/validation
+    # boundaries; checkpoint cadence uses the host-side micro counter.
+    pending: List = []
+
+    def flush_metrics():
+        nonlocal total_correct, total_preds
+        if not pending:
+            return
+        keys = list(pending[0][1].keys())
+        mat = np.asarray(jnp.stack(
+            [jnp.stack([m[k].astype(jnp.float32) for k in keys])
+             for _, m in pending]))
+        for (gs, _), row in zip(pending, mat):
+            vals = dict(zip(keys, row.tolist()))
+            running_loss(vals["loss"])
+            TB_LOGGER.global_step = gs
+            TB_LOGGER.add_scalar("train/loss", vals["loss"])
+            if "grad_norm" in vals:
+                TB_LOGGER.add_scalar("train/grad_norm", vals["grad_norm"])
+            if "acc_correct" in vals:
+                total_correct += int(vals["acc_correct"])
+                total_preds += int(vals["acc_total"])
+        pending.clear()
 
     # per-host batch: the global batch (B x all devices) split across
     # hosts; epoch_batches gives each host a disjoint sample slice and
@@ -393,22 +422,20 @@ def start_training(cfg) -> Dict[str, Any]:
         micro += 1
         if micro % cfg.gradient_accumulation_steps == 0:
             global_step += 1
-            loss = float(metrics["loss"])
-            running_loss(loss)
-            TB_LOGGER.global_step = global_step
-            TB_LOGGER.add_scalar("train/loss", loss)
-            if "grad_norm" in metrics:
-                TB_LOGGER.add_scalar("train/grad_norm",
-                                     float(metrics["grad_norm"]))
-            if "acc_correct" in metrics:
-                total_correct += int(metrics["acc_correct"])
-                total_preds += int(metrics["acc_total"])
-            if global_step % 10 == 0:
+            pending.append((global_step, metrics))
+            boundary = (global_step % log_every == 0
+                        or global_step % cfg.valid_steps == 0
+                        or global_step >= cfg.num_train_steps
+                        or (cfg.debug and global_step >= debug_cap)
+                        or preempted["flag"])
+            if boundary:
+                flush_metrics()
+            if global_step % log_every == 0:
                 acc = total_correct / (total_preds + 1e-6)
                 LOGGER.info(f"step {global_step}/{cfg.num_train_steps} "
                             f"{running_loss} acc {100*acc:.2f} "
                             f"({(time.time()-t_start):.0f}s)")
-            restorer.maybe_save(int(state.step), state)
+            restorer.maybe_save(start_micro + micro, state)
             if global_step % cfg.valid_steps == 0:
                 total_correct = total_preds = 0
                 res_v, _ = run_validation()
@@ -421,7 +448,7 @@ def start_training(cfg) -> Dict[str, Any]:
                 prefetch.close()
                 if pool is not None:
                     pool.close()
-                restorer.force_save(int(state.step), state)
+                restorer.force_save(start_micro + micro, state)
                 restorer.wait()
                 LOGGER.info("preemption checkpoint saved; exiting")
                 return {"val": last_scores, "test": {},
@@ -432,6 +459,7 @@ def start_training(cfg) -> Dict[str, Any]:
         if cfg.debug and global_step >= debug_cap:
             break
 
+    flush_metrics()
     prefetch.close()  # release staged device batches before final eval
     if pool is not None:
         pool.close()
