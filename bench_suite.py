@@ -1,0 +1,128 @@
+"""Benchmark suite: one row per BASELINE.md reference config class.
+
+``bench.py`` keeps the driver's single-JSON-line contract (the flagship
+GIT-base 8-frame train step); this suite covers the other reference
+training configurations (/root/reference/src/configs/*.json shapes, see
+BASELINE.md) and prints one JSON line per row plus an MFU estimate:
+
+    python bench_suite.py            # all rows
+    python bench_suite.py git6 mif2  # subset
+
+MFU = XLA-reported FLOPs of the compiled step / step time / v5e bf16
+peak (197 TFLOP/s).  FLOPs come from ``compiled.cost_analysis()`` and
+include Pallas kernels via their declared CostEstimate (which counts
+padded attention blocks), so MFU here is a mildly *optimistic* bound on
+useful-FLOP utilization.
+
+Rows (batch/frames mirror the reference configs; text len 32 covers the
+question + answer budget used in training):
+
+- git6:     msvd_qa_base   — GIT-base, B=6,  6 stored frames, uniform/1
+- git8:     flagship       — GIT-base, B=16, 8 frames (bench.py shape)
+- mif2:     msrvtt_qa_base2— GIT-base, B=16, 2 MIF-selected frames
+- clip1:    msvd_qa_base3  — CLIP ViT-B/16 classifier, B=8, single frame
+- vitl16:   stretch        — GIT + ViT-L/14, B=8, 16 frames, remat
+"""
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V5E_PEAK_TFLOPS = 197.0  # bf16 MXU peak per chip
+
+
+def _git_model(large=False, remat=False):
+    import dataclasses
+    from sasvqa_tpu.models.git import GIT_BASE, GITForCausalLM
+    cfg = GIT_BASE
+    if large:
+        from sasvqa_tpu.models.clip import CLIP_VIT_L14
+        cfg = dataclasses.replace(GIT_BASE, vision=CLIP_VIT_L14[1])
+    return GITForCausalLM(cfg, dtype=jnp.bfloat16, remat=remat)
+
+
+def _clip_model():
+    from sasvqa_tpu.models.clip import CLIP_VIT_B16
+    from sasvqa_tpu.models.video_qa import (CLIPVideoQA,
+                                            ClassifierHeadConfig)
+    tc, vc = CLIP_VIT_B16
+    return CLIPVideoQA(tc, vc, ClassifierHeadConfig(num_labels=1000),
+                       dtype=jnp.bfloat16)
+
+
+def _measure(name, model, batch, frames, txt_len, classifier=False,
+             img=224, steps=12):
+    import optax
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 1000, size=(batch, txt_len)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+    pixels = jnp.asarray(
+        rng.normal(size=(batch, frames, img, img, 3)), jnp.float32)
+    if classifier:
+        labels = jnp.asarray(rng.integers(0, 1000, size=(batch,)), jnp.int32)
+    else:
+        labels = jnp.where(mask == 1, ids, -100)
+
+    params = jax.jit(model.init)(jax.random.key(0), ids, mask,
+                                 pixels[:, :1])
+    tx = optax.adamw(1e-5)
+    opt_state = tx.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply(p, ids, mask, pixels, labels=labels,
+                              deterministic=True)
+            return out["loss"]
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    try:
+        ca = step.lower(params, opt_state).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        step_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        step_flops = 0.0
+
+    for _ in range(2):
+        params, opt_state, loss = step(params, opt_state)
+        float(loss)  # reliable sync on the tunneled runtime
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+    float(loss)
+    dt = (time.perf_counter() - t0) / steps
+
+    mfu = step_flops / dt / (V5E_PEAK_TFLOPS * 1e12) if step_flops else None
+    print(json.dumps({
+        "config": name, "batch": batch, "frames": frames,
+        "ms_per_step": round(dt * 1000, 1),
+        "qa_pairs_per_sec_per_chip": round(batch / dt, 2),
+        "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
+        "mfu_vs_197tf": round(mfu, 3) if mfu is not None else None,
+    }), flush=True)
+
+
+ROWS = {
+    "git6": lambda: _measure("git6_msvd_base", _git_model(), 6, 6, 32),
+    "git8": lambda: _measure("git8_flagship", _git_model(), 16, 8, 32),
+    "mif2": lambda: _measure("mif2_msrvtt_base2", _git_model(), 16, 2, 32),
+    "clip1": lambda: _measure("clip1_msvd_base3", _clip_model(), 8, 1, 32,
+                              classifier=True),
+    "vitl16": lambda: _measure("vitl16_stretch",
+                               _git_model(large=True, remat=True), 8, 16,
+                               32, steps=6),
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ROWS)
+    for n in names:
+        ROWS[n]()
