@@ -110,6 +110,69 @@ def _measure(name, model, batch, frames, txt_len, classifier=False,
     }), flush=True)
 
 
+def _measure_eval(name="git8_eval", batch=16, frames=8, txt_len=16,
+                  max_new=32, steps=8):
+    """Generative eval throughput: cached greedy decode, fixed budget of
+    ``max_new`` (random weights never emit EOS, so this is the
+    worst-case decode length — real answers early-exit the while_loop)."""
+    from sasvqa_tpu.models.git import greedy_generate
+    model = _git_model()
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 1000, size=(batch, txt_len)),
+                      jnp.int32)
+    plen = jnp.full((batch,), txt_len, jnp.int32)
+    pixels = jnp.asarray(
+        rng.normal(size=(batch, frames, 224, 224, 3)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), ids,
+                                 jnp.ones_like(ids), pixels[:, :1])
+
+    @jax.jit
+    def step(params):
+        return greedy_generate(model, params, ids, plen, pixels,
+                               max_text_len=50, max_new_tokens=max_new)
+
+    for _ in range(2):
+        np.asarray(step(params))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = step(params)
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / steps
+    print(json.dumps({
+        "config": name, "batch": batch, "frames": frames,
+        "max_new_tokens": max_new,
+        "ms_per_batch": round(dt * 1000, 1),
+        "qa_pairs_per_sec_per_chip": round(batch / dt, 2),
+    }), flush=True)
+
+
+def _measure_mdf(name="mdf_stageA", n_frames=256, k=16, w=8, steps=6):
+    """Offline stage-A device throughput: frozen ViT encode of every
+    decoded frame + on-device banded MDF selection (frames/sec/chip).
+
+    Frames are device-resident (the real tool's decode thread overlaps
+    H2D with compute; over the bench tunnel a per-call 154 MB transfer
+    would swamp the measurement)."""
+    from sasvqa_tpu.tools.extract_frames import MDFEncoder, bucket_for
+    enc = MDFEncoder(k=k, window=w)
+    rng = np.random.default_rng(0)
+    bucket = bucket_for(n_frames)
+    frames = jnp.asarray(rng.normal(
+        size=(bucket, 224, 224, 3)).astype(np.float32))
+    fn = enc._fn_for(bucket, w)
+    np.asarray(fn(enc._params, frames, n_frames)[0])  # compile
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        inds, _ = fn(enc._params, frames, n_frames)
+    np.asarray(inds)
+    dt = (time.perf_counter() - t0) / steps
+    print(json.dumps({
+        "config": name, "frames_per_video": n_frames, "K": k,
+        "ms_per_video": round(dt * 1000, 1),
+        "frames_per_sec_per_chip": round(n_frames / dt, 1),
+    }), flush=True)
+
+
 ROWS = {
     "git6": lambda: _measure("git6_msvd_base", _git_model(), 6, 6, 32),
     "git8": lambda: _measure("git8_flagship", _git_model(), 16, 8, 32),
@@ -119,6 +182,8 @@ ROWS = {
     "vitl16": lambda: _measure("vitl16_stretch",
                                _git_model(large=True, remat=True), 8, 16,
                                32, steps=6),
+    "eval": _measure_eval,
+    "mdf": _measure_mdf,
 }
 
 

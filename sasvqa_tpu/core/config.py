@@ -159,7 +159,12 @@ def build_shared_parser(desc: str = "sasvqa_tpu shared config") -> argparse.Argu
     p.add_argument("--fp16", type=int, choices=[0, 1], default=0)
     p.add_argument("--bf16", type=int, choices=[0, 1], default=1,
                    help="bf16 activations (TPU-native replacement for fp16+GradScaler)")
-    p.add_argument("--n_workers", type=int, default=4)
+    # deliberate divergence from the reference's DataLoader num_workers=4
+    # default (run_video_qa.py:184): the fork collation pool is opt-in
+    # because forking after the TPU client initializes is unsafe on some
+    # runtimes and loses outright on single-core hosts (BASELINE.md);
+    # set >0 explicitly on multi-core TPU-VM hosts.
+    p.add_argument("--n_workers", type=int, default=0)
     p.add_argument("--pin_mem", type=int, choices=[0, 1], default=1)
     # TPU / mesh
     p.add_argument("--platform", type=str, default=None,

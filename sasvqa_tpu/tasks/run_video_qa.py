@@ -125,10 +125,20 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
              eval_step, mesh, eval_score: bool = True,
              tag: str = "valid", n_options: int = 0,
              logits_step=None) -> Dict[str, Any]:
+    """Evaluation loop (reference validate, run_video_qa.py:283-387).
+
+    Single-controller: evaluates the full split on this process's mesh.
+    On multi-host pods only the training path is input-sharded;
+    validation currently assumes all devices are addressable from this
+    host (run it on a single host or with a host-local mesh)."""
     st = time.time()
     qa_results = []
     n_ex = 0
     n_dev = mesh.devices.size if mesh is not None else 1
+    # reference: --do_inference evaluates at inference_batch_size; normal
+    # validation at val_batch_size (run_video_qa.py:154-157)
+    eval_bs = int(cfg.inference_batch_size if cfg.get("do_inference")
+                  else cfg.val_batch_size)
     # deterministic eval-time frame sampling (policies like 'random'
     # draw from this seeded rng)
     eval_rng = np.random.default_rng(cfg.seed)
@@ -136,7 +146,7 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
     # frame samples per video (score_agg_func, configs/config.py:99-101)
     ensemble = int(cfg.get("inference_n_clips", 1)) \
         if family != "git" and not n_options and logits_step else 1
-    pad_to = max(cfg.val_batch_size, n_dev)
+    pad_to = max(eval_bs, n_dev)
 
     def prep(batch):
         batch.pop("n_examples_list", None)
@@ -148,7 +158,7 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
 
     from sasvqa_tpu.data.pipeline import batch_indices
     for b_idx, idx in enumerate(batch_indices(
-            len(dataset), cfg.val_batch_size, False, None)):
+            len(dataset), eval_bs, False, None)):
         items = [dataset.get_group(int(i)) for i in idx]
         batch = collator(items, rng=eval_rng)
         question_ids = batch.pop("question_ids")

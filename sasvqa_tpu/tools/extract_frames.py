@@ -128,11 +128,14 @@ class MDFEncoder:
         if key not in self._select:
             import jax.numpy as jnp
             from sasvqa_tpu.sampling.mdf import mdf_select_padded
-            tower, params, k, interval = (self._tower, self._params,
-                                          self.k, self.interval)
+            tower, k, interval = self._tower, self.k, self.interval
 
+            # params are an argument, NOT a closure capture: captured
+            # arrays are baked into the HLO as constants (an 86M-param
+            # tower blows the remote-compile request limit on tunneled
+            # runtimes, and re-embeds the weights per shape bucket)
             @self._jax.jit
-            def fn(frames_padded, n_valid):
+            def fn(params, frames_padded, n_valid):
                 _, pooled, _ = tower.apply(params, frames_padded)
                 feats = pooled.astype(jnp.float32)
                 return mdf_select_padded(feats, n_valid, k, w, interval)
@@ -154,7 +157,7 @@ class MDFEncoder:
         b = bucket_for(n)
         padded = np.zeros((b,) + frames.shape[1:], frames.dtype)
         padded[:n] = frames
-        inds, exhausted = self._fn_for(b, w)(padded, n)
+        inds, exhausted = self._fn_for(b, w)(self._params, padded, n)
         return np.asarray(inds), bool(exhausted)
 
 

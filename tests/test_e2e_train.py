@@ -32,6 +32,7 @@ def _write_config(tmp_path, paths, model_block, **overrides):
         "max_n_example_per_group": 1,
         "train_batch_size": 2,
         "val_batch_size": 4,
+        "inference_batch_size": 4,  # keep --do_inference eval shapes tiny
         "gradient_accumulation_steps": 2,
         "num_train_epochs": 1,
         "min_valid_steps": 2,
