@@ -74,8 +74,11 @@ def _measure(name, model, batch, frames, txt_len, classifier=False,
     tx = optax.adamw(1e-5)
     opt_state = tx.init(params)
 
+    # batch arrays are jit ARGUMENTS, not closure captures — captured
+    # arrays bake into the HLO as constants (see MDFEncoder note in
+    # tools/extract_frames.py: that blows remote-compile size limits)
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state):
+    def step(params, opt_state, ids, mask, pixels, labels):
         def loss_fn(p):
             out = model.apply(p, ids, mask, pixels, labels=labels,
                               deterministic=True)
@@ -84,19 +87,20 @@ def _measure(name, model, batch, frames, txt_len, classifier=False,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    args = (ids, mask, pixels, labels)
     try:
-        ca = step.lower(params, opt_state).compile().cost_analysis()
+        ca = step.lower(params, opt_state, *args).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         step_flops = float(ca.get("flops", 0.0))
     except Exception:
         step_flops = 0.0
 
     for _ in range(2):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state, *args)
         float(loss)  # reliable sync on the tunneled runtime
     t0 = time.perf_counter()
     for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state, *args)
     float(loss)
     dt = (time.perf_counter() - t0) / steps
 
@@ -127,15 +131,15 @@ def _measure_eval(name="git8_eval", batch=16, frames=8, txt_len=16,
                                  jnp.ones_like(ids), pixels[:, :1])
 
     @jax.jit
-    def step(params):
+    def step(params, ids, plen, pixels):
         return greedy_generate(model, params, ids, plen, pixels,
                                max_text_len=50, max_new_tokens=max_new)
 
     for _ in range(2):
-        np.asarray(step(params))
+        np.asarray(step(params, ids, plen, pixels))
     t0 = time.perf_counter()
     for _ in range(steps):
-        out = step(params)
+        out = step(params, ids, plen, pixels)
     np.asarray(out)
     dt = (time.perf_counter() - t0) / steps
     print(json.dumps({

@@ -20,12 +20,18 @@ from sasvqa_tpu.parallel.mesh import shard_batch
 
 def batch_indices(n: int, batch_size: int, shuffle: bool,
                   rng: Optional[np.random.Generator],
-                  drop_last: bool = False) -> List[np.ndarray]:
-    order = np.arange(n)
-    if shuffle:
-        assert rng is not None
-        order = rng.permutation(n)
-    batches = [order[i:i + batch_size] for i in range(0, n, batch_size)]
+                  drop_last: bool = False,
+                  order: Optional[np.ndarray] = None) -> List[np.ndarray]:
+    """Chunk a sample ordering into batches.  ``order`` overrides the
+    default arange/permutation (used by epoch_batches after per-host
+    sharding)."""
+    if order is None:
+        order = np.arange(n)
+        if shuffle:
+            assert rng is not None
+            order = rng.permutation(n)
+    batches = [order[i:i + batch_size] for i in range(0, len(order),
+                                                      batch_size)]
     if drop_last and batches and len(batches[-1]) < batch_size:
         batches.pop()
     return batches
@@ -78,21 +84,39 @@ def _pool_collate(task):
 class CollatorPool:
     """Process pool running get_group + collate off the main process.
 
-    Must be created before any TPU/jax client initializes in the parent
-    when possible; forked children never touch jax.  HDF5 handles are
-    reopened per process (FrameStoreReader tracks pids).
+    Forked children never touch jax; HDF5 handles are reopened per
+    process (FrameStoreReader tracks pids).  The training loop forks
+    this pool after the jax client initializes — accepted on Linux
+    hosts where fork-after-init works, and the reason ``--n_workers``
+    defaults to 0 (opt-in) rather than the reference's 4.
     """
 
     def __init__(self, dataset, collator, n_workers: int):
         import multiprocessing as mp
         assert n_workers > 0
         ctx = mp.get_context("fork")
+        self.n_workers = n_workers
         self._pool = ctx.Pool(n_workers, initializer=_pool_init,
                               initargs=(dataset, collator))
 
-    def imap(self, tasks):
-        """tasks: iterable of (indices, seed) -> ordered batch iterator."""
-        return self._pool.imap(_pool_collate, tasks, chunksize=1)
+    def imap(self, tasks, window: Optional[int] = None):
+        """tasks: iterable of (indices, seed) -> ordered batch iterator.
+
+        Bounded submission: at most ``window`` tasks are in flight /
+        buffered (Pool.imap would enqueue the whole epoch and buffer
+        every finished ~100s-of-MB batch unboundedly when the consumer
+        is slower than the workers).
+        """
+        from collections import deque
+        if window is None:
+            window = 2 * self.n_workers
+        pending = deque()
+        for t in tasks:
+            pending.append(self._pool.apply_async(_pool_collate, (t,)))
+            if len(pending) >= window:
+                yield pending.popleft().get()
+        while pending:
+            yield pending.popleft().get()
 
     def close(self):
         self._pool.terminate()
@@ -113,29 +137,44 @@ def epoch_batches(dataset, collator, batch_size: int, shuffle: bool,
     batches locally — ``batch_size`` is the PER-HOST batch size.  This
     replaces the reference's DistributedSampler pattern
     (run_video_retrieval.py:109-111).
+
+    rng discipline: exactly TWO draws are consumed from ``rng`` per
+    epoch (a permutation seed and a collation seed), regardless of
+    shard size, batch count, or sampling policy — so hosts whose shards
+    differ in size stay permutation-synchronized across epochs.  Each
+    batch collates with its own derived generator
+    ``default_rng((collate_seed, process_index, batch_idx))``, making
+    the serial and pooled paths bitwise identical.
     """
-    order = np.arange(len(dataset))
-    if shuffle:
-        assert rng is not None
-        order = rng.permutation(len(dataset))
     pc = process_count
     if pc is None:
         import jax
         pc = jax.process_count()
-    if pc > 1:
-        order = shard_for_host(order, process_index, pc)
-    batches = [order[i:i + batch_size]
-               for i in range(0, len(order), batch_size)]
-    if drop_last and batches and len(batches[-1]) < batch_size:
-        batches.pop()
-    if pool is None:
-        for idx in batches:
-            yield collate_indices(dataset, collator, idx, rng)
+    pi = process_index
+    if pi is None and pc > 1:
+        import jax
+        pi = jax.process_index()
+    pi = pi or 0
+
+    if shuffle:
+        assert rng is not None
+        perm_seed = int(rng.integers(0, 2 ** 63))
+        order = np.random.default_rng(perm_seed).permutation(len(dataset))
     else:
-        # per-batch seeds drawn up-front in order => deterministic
-        seeds = (rng.integers(0, 2 ** 63, size=len(batches))
-                 if rng is not None else np.arange(len(batches)))
-        yield from pool.imap(list(zip(batches, seeds)))
+        order = np.arange(len(dataset))
+    collate_seed = (int(rng.integers(0, 2 ** 63))
+                    if rng is not None else 0)
+    if pc > 1:
+        order = shard_for_host(order, pi, pc)
+    batches = batch_indices(len(order), batch_size, False, None,
+                            drop_last=drop_last, order=order)
+    seeds = [(collate_seed, pi, b) for b in range(len(batches))]
+    if pool is None:
+        for idx, seed in zip(batches, seeds):
+            yield collate_indices(dataset, collator, idx,
+                                  np.random.default_rng(seed))
+    else:
+        yield from pool.imap(zip(batches, seeds))
 
 
 def infinite_batches(dataset, collator, batch_size: int,

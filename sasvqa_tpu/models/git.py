@@ -413,7 +413,10 @@ def greedy_generate(model: GITForCausalLM, params, input_ids: jax.Array,
                                 max_text_len, method=model.prompt_fill)
     first = jnp.argmax(logits, axis=-1)
     over0 = prompt_len >= max_text_len         # no room for any new token
-    done0 = (first == eos) | over0
+    # batch-padding rows (prompt_len == 0) are born done: their garbage
+    # argmax rarely hits EOS and would defeat the all-done early exit,
+    # costing the full decode budget on every padded final batch
+    done0 = (first == eos) | over0 | (prompt_len == 0)
     tok0 = jnp.where(done0, pad, first)
     buf = jnp.full((input_ids.shape[0], max_new), pad, dtype=tok0.dtype)
     buf = buf.at[:, 0].set(tok0)

@@ -57,21 +57,21 @@ def sample_indices(policy: str, num_stored: int, nframe: int,
     if policy == "random":
         assert rng is not None, "random policy needs an rng"
         # torch.multinomial(arange(K), nframe, replacement=False): index-
-        # weighted sequential draws (dataset_video_qa.py:207-209); frame 0
-        # has weight 0 so nframe must leave K-1 samplable frames
+        # weighted sequential renormalized draws (dataset_video_qa.py:
+        # 207-209); frame 0 has weight 0 so nframe must leave K-1
+        # samplable frames.  Implemented as Gumbel-top-k (keys =
+        # log w + Gumbel noise, take the nframe largest), which is
+        # distributionally identical to the sequential draws including
+        # the selection ORDER (Efraimidis-Spirakis / Vieira 2014) and
+        # vectorizes over the batch instead of a B x nframe Python loop.
         assert nframe <= num_stored - 1, (
             f"random policy: nframe={nframe} > {num_stored - 1} nonzero-"
             f"weight frames (frame 0 has probability 0)")
-        base_w = np.arange(num_stored, dtype=np.float64)
-        out = np.empty((batch_size, nframe), dtype=np.int32)
-        for b in range(batch_size):
-            w = base_w.copy()
-            for j in range(nframe):
-                p = w / w.sum()
-                pick = int(rng.choice(num_stored, p=p))
-                out[b, j] = pick
-                w[pick] = 0.0
-        return out
+        with np.errstate(divide="ignore"):  # log(0) -> -inf for frame 0
+            logw = np.log(np.arange(num_stored, dtype=np.float64))
+        keys = logw + rng.gumbel(size=(batch_size, num_stored))
+        order = np.argsort(-keys, axis=1)[:, :nframe]
+        return order.astype(np.int32)
     if policy == "question-caption":
         assert sampled_inds is not None, "MIF policy needs sampled_inds"
         si = np.asarray(sampled_inds)[:, :nframe]

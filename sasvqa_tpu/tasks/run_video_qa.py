@@ -484,10 +484,13 @@ def main(argv: Optional[List[str]] = None):
     cfg = get_video_qa_args(argv)
     if cfg.do_inference:
         # reference --do_inference is a no-op (run_video_qa.py:536-537);
-        # here it runs a standalone validation pass instead.
+        # here it runs a standalone validation pass instead.  With zero
+        # train steps the loop falls through straight to the final_
+        # validation, so no zero_eval (that would evaluate both splits
+        # twice per invocation).
         LOGGER.info("inference-only mode")
         cfg.num_train_epochs = 0
-        cfg.zero_eval = True
+        cfg.zero_eval = False
     return start_training(cfg)
 
 

@@ -69,14 +69,34 @@ def test_epoch_batches_hosts_see_disjoint_data():
     assert sorted(np.concatenate(per_host).tolist()) == list(range(23))
 
 
+def test_epoch_batches_hosts_stay_synced_across_epochs():
+    """Regression: hosts with unequal shard sizes must consume the shared
+    rng identically, or epoch-2 permutations desynchronize and the
+    'disjoint cover' property silently breaks (epoch_batches draws
+    exactly two seeds per epoch regardless of shard/batch count)."""
+    from sasvqa_tpu.data.pipeline import epoch_batches
+    ds = _IdxDataset(23)  # 2 hosts -> shards of 12 and 11 (unequal)
+    per_host_epoch2 = []
+    for pi in range(2):
+        rng = np.random.default_rng(9)
+        for epoch in range(2):
+            got = [b["idx"] for b in epoch_batches(
+                ds, _idx_collator, 4, shuffle=True, rng=rng,
+                process_index=pi, process_count=2)]
+        per_host_epoch2.append(np.concatenate(got))
+    assert not set(per_host_epoch2[0]) & set(per_host_epoch2[1])
+    assert sorted(np.concatenate(per_host_epoch2).tolist()) == \
+        list(range(23))
+
+
 def test_epoch_batches_worker_pool_matches_serial_and_is_deterministic():
     from sasvqa_tpu.data.pipeline import CollatorPool, epoch_batches
     ds = _IdxDataset(17)
     pool = CollatorPool(ds, _idx_collator, n_workers=2)
     try:
-        serial = [b["idx"] for b in epoch_batches(
+        serial = list(epoch_batches(
             ds, _idx_collator, 4, shuffle=True,
-            rng=np.random.default_rng(3), process_count=1)]
+            rng=np.random.default_rng(3), process_count=1))
         pooled1 = list(epoch_batches(
             ds, _idx_collator, 4, shuffle=True,
             rng=np.random.default_rng(3), process_count=1, pool=pool))
@@ -85,10 +105,13 @@ def test_epoch_batches_worker_pool_matches_serial_and_is_deterministic():
             rng=np.random.default_rng(3), process_count=1, pool=pool))
     finally:
         pool.close()
-    # same batch composition and order as the serial path
+    # serial and pooled paths are bitwise identical (both collate each
+    # batch with default_rng((collate_seed, process_index, batch_idx)))
+    assert len(serial) == len(pooled1)
     for s, p in zip(serial, pooled1):
-        np.testing.assert_array_equal(s, p["idx"])
-    # bitwise deterministic across runs, incl. per-batch collation rng
+        np.testing.assert_array_equal(s["idx"], p["idx"])
+        np.testing.assert_array_equal(s["jitter"], p["jitter"])
+    # and deterministic across runs
     for a, b in zip(pooled1, pooled2):
         np.testing.assert_array_equal(a["idx"], b["idx"])
         np.testing.assert_array_equal(a["jitter"], b["jitter"])
