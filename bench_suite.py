@@ -188,6 +188,11 @@ ROWS = {
                                32, steps=6),
     "eval": _measure_eval,
     "mdf": _measure_mdf,
+    # MIF stage B part 1 (gen_sample gen_cap): [CLS]-prompted 30-token
+    # frame captions, batched over frames (reference generate
+    # max_length=30, preprocessing/gen_sample.py:20-25)
+    "cap": lambda: _measure_eval(name="mif_gen_cap_stageB", batch=32,
+                                 frames=1, txt_len=1, max_new=29),
 }
 
 
