@@ -67,6 +67,14 @@ class FrameStoreReader:
             self._pid = os.getpid()
         return self._f[DATASET_NAME]
 
+    def __getstate__(self):
+        # picklable for spawn-started pool workers: the handle never
+        # crosses a process boundary, workers reopen lazily via _ds()
+        return {"_path": self._path, "_f": None, "_pid": None}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
     @property
     def shape(self):
         return self._ds().shape

@@ -15,7 +15,9 @@ from typing import Any, Callable, Dict, Iterator, List, Optional
 
 import numpy as np
 
-from sasvqa_tpu.parallel.mesh import shard_batch
+# NOTE: sasvqa_tpu.parallel.mesh (-> jax) is imported lazily inside
+# DevicePrefetcher._stage so spawn-started pool workers, which re-import
+# this module to find _pool_collate, never pay the jax import.
 
 
 def batch_indices(n: int, batch_size: int, shuffle: bool,
@@ -60,7 +62,6 @@ def collate_indices(dataset, collator, idx, rng) -> Dict[str, Any]:
 # -- worker-pool collation (the reference's DataLoader n_workers=4
 #    equivalent, run_video_qa.py:184) ----------------------------------
 #
-# fork-started processes inherit dataset/collator without pickling;
 # each task carries its batch indices + a seed so collation randomness
 # (frame-sampling policies) is deterministic regardless of which worker
 # runs it or in what order tasks complete (results are consumed in
@@ -84,17 +85,25 @@ def _pool_collate(task):
 class CollatorPool:
     """Process pool running get_group + collate off the main process.
 
-    Forked children never touch jax; HDF5 handles are reopened per
-    process (FrameStoreReader tracks pids).  The training loop forks
-    this pool after the jax client initializes — accepted on Linux
-    hosts where fork-after-init works, and the reason ``--n_workers``
-    defaults to 0 (opt-in) rather than the reference's 4.
+    Workers are **spawn**-started by default: the training process is
+    heavily multithreaded by the time the pool exists (XLA dispatch,
+    prefetch threads), and POSIX fork of a multithreaded parent can
+    deadlock a child on an inherited lock — observed as a wedged
+    full-suite test run.  Spawn children start clean; they pickle
+    (dataset, collator) once at pool start (FrameStoreReader drops its
+    HDF5 handle in __getstate__ and reopens lazily) and never import
+    jax (the worker module's jax dependency is imported lazily).
+
+    ``start_method="fork"`` remains available for setups whose dataset
+    or collator cannot be pickled; it inherits the parent's memory for
+    free but carries the fork-after-threads caveat above.
     """
 
-    def __init__(self, dataset, collator, n_workers: int):
+    def __init__(self, dataset, collator, n_workers: int,
+                 start_method: str = "spawn"):
         import multiprocessing as mp
         assert n_workers > 0
-        ctx = mp.get_context("fork")
+        ctx = mp.get_context(start_method)
         self.n_workers = n_workers
         self._pool = ctx.Pool(n_workers, initializer=_pool_init,
                               initargs=(dataset, collator))
@@ -255,6 +264,7 @@ class DevicePrefetcher:
                 if k in self.HOST_KEYS}
         arrays = {k: v for k, v in batch.items() if v is not None}
         if self._mesh is not None:
+            from sasvqa_tpu.parallel.mesh import shard_batch
             arrays = shard_batch(arrays, self._mesh)
         else:
             import jax

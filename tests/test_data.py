@@ -56,6 +56,16 @@ def test_frame_store_roundtrip(synth):
     np.testing.assert_allclose(frames, chw.transpose(0, 2, 3, 1))
 
 
+def test_frame_store_reader_picklable_with_open_handle(synth):
+    """Spawn-started CollatorPool workers receive the dataset by pickle;
+    the reader must survive pickling even after its handle is open."""
+    import pickle
+    reader = FrameStoreReader(synth["h5"])
+    before = reader.read_nhwc(1)          # opens the handle
+    clone = pickle.loads(pickle.dumps(reader))
+    np.testing.assert_array_equal(clone.read_nhwc(1), before)
+
+
 def _make_dataset(synth, is_train=True):
     dl = load_datalist("msvd_qa", synth["train"])
     groups = group_datalist(dl, 1, is_train=is_train)
