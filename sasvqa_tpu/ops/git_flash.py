@@ -21,7 +21,7 @@ Mask arithmetic is all-f32 (Mosaic rejects i1 vector logic ops).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,33 @@ NEG_INF = -1e9
 # amortises better over bigger tiles; padding waste is within the win)
 DEFAULT_BQ = 512
 DEFAULT_BK = 1024
+
+# candidate (bq, bk) pairs for the shape-aware chooser.  Constraints the
+# current kernels impose: both x128 (bq: the (1,1,bq) LSE block minor;
+# bk: in-kernel minor-dim colmask slice offsets), s_pad a multiple of
+# both (grid / key-loop trip counts).  bq*bk is capped near 512*1024:
+# the (bq,bk) f32 temporaries (s/p/dp/ds) live in VMEM (~16 MB/core).
+_BLOCK_CANDIDATES = ((512, 1024), (896, 896), (640, 640), (768, 768),
+                     (512, 512), (384, 768), (384, 640), (256, 512))
+
+
+def _choose_blocks(s: int) -> Tuple[int, int]:
+    """Pick (bq, bk) minimising padded work s_pad^2 for sequence s.
+
+    Padding to a multiple of max-block costs quadratically: at S=1608
+    the default (512,1024) pads to 2048 = 1.62x the real S^2 work,
+    while (896,896) pads to 1792 (1.24x) and measures ~15% faster
+    end-to-end on the flagship step.  Ties prefer bigger tiles (MXU
+    amortisation)."""
+    import math
+    best, best_cost = None, None
+    for bq, bk in _BLOCK_CANDIDATES:
+        l = math.lcm(bq, bk)
+        s_pad = -(-s // l) * l
+        cost = (s_pad * s_pad, -(bq * bk))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = (bq, bk), cost
+    return best
 
 # Sequence threshold below which the XLA dense-recompute backward is
 # used instead of the Pallas kernels.  With 512-blocks the Pallas
@@ -59,39 +86,71 @@ def _mask_ok(rows, cols, cm, num_img):
     return jnp.where(rows >= num_img, text_ok, col_img)
 
 
+def _mask_block(s, qi_base, ki_base, colmask_ref, num_img):
+    """Apply the GIT mask to one (BQ, BK) score block."""
+    bq, bk = s.shape
+    rows = qi_base + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    cols = ki_base + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    cm = colmask_ref[0, :, pl.ds(ki_base, bk)]         # (1, BK) f32
+    ok = _mask_ok(rows, cols, cm, num_img)
+    return s + (ok - 1.0) * (-NEG_INF)
+
+
+def _n_unmasked_blocks(num_img: int, bk: int, nblk: int) -> int:
+    """Key blocks made purely of image columns need NO mask: every column
+    < num_img is attendable from every row (image rows attend image
+    cols; text rows attend image cols unconditionally, git_attention_bias
+    semantics).  num_img is static, so the key loop splits statically
+    into an unmasked prefix and a masked tail — a dynamic lax.cond
+    per block measured 1.7x SLOWER (Mosaic can't software-pipeline
+    across the branch); the static split costs nothing."""
+    return min(num_img // bk, nblk)
+
+
 def _fwd_kernel(colmask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                 bk: int, scale: float, num_img: int):
-    """grid = (B*H, nq)."""
+    """grid = (B*H, nq).
+
+    Matmul inputs stay in the storage dtype (bf16): the v5e MXU runs
+    bf16 x bf16 -> f32 at 4x its f32 rate, and
+    ``preferred_element_type=f32`` keeps the accumulation exact.  Only
+    the softmax recurrences (max/exp/sum, LSE) are f32; P is cast back
+    to bf16 for the P@V product (standard flash practice — P in [0,1]
+    with f32 row stats loses ~1e-3 relative, well under bf16 training
+    noise)."""
     qi = pl.program_id(1)
     bq = q_ref.shape[1]
-    q = q_ref[0].astype(jnp.float32) * scale          # (BQ, Dh)
+    q = q_ref[0]                                      # (BQ, Dh) bf16
     lk = k_ref.shape[1]
-    rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
 
-    def body(i, carry):
+    def body(i, carry, *, mask):
         m_run, l_run, acc = carry
-        k = k_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * bk, bk), :]
+        v = v_ref[0, pl.ds(i * bk, bk), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        cols = i * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        cm = colmask_ref[0, :, pl.ds(i * bk, bk)]      # (1, BK) f32
-        ok = _mask_ok(rows, cols, cm, num_img)
-        s = s + (ok - 1.0) * (-NEG_INF)
+                                preferred_element_type=jnp.float32) * scale
+        if mask:
+            s = _mask_block(s, qi * bq, i * bk, colmask_ref, num_img)
         m_blk = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_run, m_blk)
         p = jnp.exp(s - m_new[:, None])
         corr = jnp.exp(m_run - m_new)
         l_new = l_run * corr + jnp.sum(p, axis=-1)
         acc_new = acc * corr[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
     m0 = jnp.full((bq,), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
     acc0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
-    m_run, l_run, acc = jax.lax.fori_loop(0, lk // bk, body, (m0, l0, acc0))
+    nblk = lk // bk
+    n_free = _n_unmasked_blocks(num_img, bk, nblk)
+    carry = jax.lax.fori_loop(0, n_free,
+                              functools.partial(body, mask=False),
+                              (m0, l0, acc0))
+    m_run, l_run, acc = jax.lax.fori_loop(
+        n_free, nblk, functools.partial(body, mask=True), carry)
     safe_l = jnp.where(l_run == 0.0, 1.0, l_run)
     o_ref[0] = (acc / safe_l[:, None]).astype(o_ref.dtype)
     lse_ref[0, 0, :] = m_run + jnp.log(safe_l)
@@ -102,33 +161,36 @@ def _dq_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     """grid = (B*H, nq): dQ for one query block."""
     qi = pl.program_id(1)
     bq = q_ref.shape[1]
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
+    q = q_ref[0]                                       # bf16
+    do = do_ref[0]
+    o = o_ref[0]
     lse = lse_ref[0, 0, :]                             # (BQ,)
-    d_row = jnp.sum(do * o, axis=-1)                   # (BQ,)
+    d_row = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)                           # (BQ,)
     lk = k_ref.shape[1]
-    rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
 
-    def body(i, dq_acc):
-        k = k_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
+    def body(i, dq_acc, *, mask):
+        k = k_ref[0, pl.ds(i * bk, bk), :]
+        v = v_ref[0, pl.ds(i * bk, bk), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        cols = i * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        cm = colmask_ref[0, :, pl.ds(i * bk, bk)]
-        ok = _mask_ok(rows, cols, cm, num_img)
-        s = s + (ok - 1.0) * (-NEG_INF)
+        if mask:
+            s = _mask_block(s, qi * bq, i * bk, colmask_ref, num_img)
         p = jnp.exp(s - lse[:, None])                  # (BQ, BK)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - d_row[:, None])
         return dq_acc + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     dq0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
-    dq = jax.lax.fori_loop(0, lk // bk, body, dq0)
+    nblk = lk // bk
+    n_free = _n_unmasked_blocks(num_img, bk, nblk)
+    dq = jax.lax.fori_loop(0, n_free,
+                           functools.partial(body, mask=False), dq0)
+    dq = jax.lax.fori_loop(n_free, nblk,
+                           functools.partial(body, mask=True), dq)
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
@@ -137,33 +199,31 @@ def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     """grid = (B*H, nk): dK/dV for one key block."""
     ki = pl.program_id(1)
     bk = k_ref.shape[1]
-    k = k_ref[0].astype(jnp.float32)                   # (BK, Dh)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]                                       # (BK, Dh) bf16
+    v = v_ref[0]
     lq = q_ref.shape[1]
-    cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    cm = colmask_ref[0, :, pl.ds(ki * bk, bk)]         # (1, BK)
 
     def body(i, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
-        o = o_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * bq, bq), :]
+        do = do_ref[0, pl.ds(i * bq, bq), :]
+        o = o_ref[0, pl.ds(i * bq, bq), :]
         lse = lse_ref[0, 0, pl.ds(i * bq, bq)]         # (BQ,)
-        d_row = jnp.sum(do * o, axis=-1)
+        d_row = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        rows = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        ok = _mask_ok(rows, cols, cm, num_img)
-        s = s + (ok - 1.0) * (-NEG_INF)
+        s = _mask_block(s, i * bq, ki * bk, colmask_ref, num_img)
         p = jnp.exp(s - lse[:, None])                  # (BQ, BK)
+        pc = p.astype(do.dtype)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            pc, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # (BK, Dh)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - d_row[:, None])                 # (BQ, BK)
         dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # (BK, Dh)
         return dk_acc, dv_acc
 
@@ -277,14 +337,27 @@ def _backward(res, g, num_img, bq, bk, b, h, s, dh):
     return unpad(dq), unpad(dk), unpad(dv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def git_flash_attention(q, k, v, attention_mask, num_img: int,
-                        block_q: int = DEFAULT_BQ,
-                        block_k: int = DEFAULT_BK):
+                        block_q: Optional[int] = None,
+                        block_k: Optional[int] = None):
     """(B, H, S, Dh) self-attention under the GIT combined mask.
 
     attention_mask: (B, L) text padding mask with S = num_img + L.
+    block_q/block_k default to a shape-aware choice (see _choose_blocks);
+    they must be resolved *here*, outside the custom_vjp, so forward and
+    backward agree.
     """
+    if block_q is None or block_k is None:
+        bq, bk = _choose_blocks(q.shape[-2])
+        block_q = block_q or bq
+        block_k = block_k or bk
+    return _git_flash_core(q, k, v, attention_mask, num_img,
+                           block_q, block_k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _git_flash_core(q, k, v, attention_mask, num_img: int,
+                    block_q: int, block_k: int):
     out, _ = _forward(q, k, v, attention_mask, num_img, block_q, block_k)
     return out
 
@@ -322,4 +395,4 @@ def _bwd(num_img, block_q, block_k, packed, g):
     return dq, dk, dv, None
 
 
-git_flash_attention.defvjp(_fwd, _bwd)
+_git_flash_core.defvjp(_fwd, _bwd)

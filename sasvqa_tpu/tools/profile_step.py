@@ -47,16 +47,21 @@ def timed(fn, args, iters, name, tflop=None):
     def loop(carry, *a):
         return jax.lax.fori_loop(0, iters, lambda _, c: fn(c, *a), carry)
 
+    def sync(out):
+        # host-fetch ONE element of the smallest output leaf: fetching the
+        # whole carry (params trees) round-trips GBs over the tunnel
+        leaf = min(jax.tree_util.tree_leaves(out), key=lambda x: x.size)
+        return float(jnp.asarray(leaf).ravel()[0])
+
     carry = args[0]
     rest = args[1:]
-    out = loop(carry, *rest)
-    jax.tree_util.tree_map(lambda x: np.asarray(x), out)   # sync (compile+run)
+    sync(loop(carry, *rest))                     # compile + warm run
     t0 = time.perf_counter()
     out = loop(carry, *rest)
-    jax.tree_util.tree_map(lambda x: np.asarray(x), out)
+    sync(out)
     ms = (time.perf_counter() - t0) / iters * 1e3
     rate = f"  {tflop / (ms / 1e3):7.1f} TF/s" if tflop else ""
-    print(f"{name:>10}: {ms:8.2f} ms{rate}")
+    print(f"{name:>10}: {ms:8.2f} ms{rate}", flush=True)
     return ms
 
 
@@ -97,7 +102,7 @@ def main():
 
     ms = timed(step, ((params, opt_state), ids, mask, pixels, labels),
                it, "step", tflop=21.5)
-    print(f"{'':>10}  = {B / (ms / 1e3):.1f} qa-pairs/s")
+    print(f"{'':>10}  = {B / (ms / 1e3):.1f} qa-pairs/s", flush=True)
 
     # ---- vision tower --------------------------------------------------
     venc = CLIPVisionEncoder(GIT_BASE.vision, dtype=dt,
@@ -151,7 +156,10 @@ def main():
     # ---- text layer stack (6 GIT layers incl. flash) --------------------
     lyr = GitLayer(GIT_BASE, dtype=dt)
     h0 = jnp.asarray(rng.normal(size=(B, S, D)), dt)
-    lparams = jax.jit(lyr.init)(key, h0, None, True, None, (M, mask))
+    # (M, mask) must NOT cross the jit boundary as an argument: jit would
+    # trace M and git_flash takes num_img as a static nondiff arg
+    lparams = jax.jit(lambda k, h, m: lyr.init(k, h, None, True, None,
+                                               (M, m)))(key, h0, mask)
 
     def txt_stack(h, lp):
         def f(h):

@@ -44,6 +44,42 @@ def test_matches_dense_mask(num_img, l):
                                atol=3e-5, rtol=1e-4)
 
 
+def test_bf16_matches_f32_dense():
+    """Production dtype: matmul inputs stay bf16 in-kernel (P is cast to
+    bf16 for P@V).  Validate against the f32 dense reference within
+    bf16-resolution tolerance, fwd and bwd."""
+    b, h, num_img, l, d = 2, 2, 128, 24, 64
+    s = num_img + l
+    rng = np.random.default_rng(2)
+    qf, kf, vf = (jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+                  for _ in range(3))
+    mask = np.ones((b, l), np.int32)
+    mask[1, -7:] = 0
+    mask = jnp.asarray(mask)
+    bias = git_attention_bias(num_img, mask)
+
+    def loss_flash(q, k, v):
+        o = gf.git_flash_attention(q.astype(jnp.bfloat16),
+                                   k.astype(jnp.bfloat16),
+                                   v.astype(jnp.bfloat16), mask, num_img)
+        return (o.astype(jnp.float32) ** 2).mean()
+
+    def loss_ref(q, k, v):
+        return (_xla_ref(q, k, v, bias).astype(jnp.float32) ** 2).mean()
+
+    out = gf.git_flash_attention(qf.astype(jnp.bfloat16),
+                                 kf.astype(jnp.bfloat16),
+                                 vf.astype(jnp.bfloat16), mask, num_img)
+    ref = _xla_ref(qf, kf, vf, bias)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), atol=3e-2, rtol=3e-2)
+    g = jax.grad(loss_flash, argnums=(0, 1, 2))(qf, kf, vf)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qf, kf, vf)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_), atol=5e-2, rtol=5e-2)
+
+
 def test_gradients_match_dense():
     b, h, num_img, l, d = 1, 2, 128, 16, 64
     s = num_img + l
