@@ -44,6 +44,24 @@ def test_matches_dense_mask(num_img, l):
                                atol=3e-5, rtol=1e-4)
 
 
+def test_choose_blocks_minimises_padding():
+    """Shape-aware block chooser: minimise padded S^2 work, prefer big
+    tiles on ties.  S=1608 (8-frame GIT-base) must pick 896x896 (pad
+    1792, vs 2048 for the 512x1024 default); S=4144 (16-frame ViT-L)
+    must keep 512x1024 (pad 4096... exactly; 896 would pad to 4480)."""
+    import math
+    assert gf._choose_blocks(1608) == (896, 896)   # pad 1792 (not 2048)
+    assert gf._choose_blocks(4096) == (512, 1024)  # exact fit, big tiles
+    assert gf._choose_blocks(4144) == (896, 896)   # pad 4480 (not 5120)
+    # chosen pad is optimal over the candidate set for any S
+    for s in (197, 1608, 2000, 4144, 8192):
+        bq, bk = gf._choose_blocks(s)
+        pad = -(-s // math.lcm(bq, bk)) * math.lcm(bq, bk)
+        for cq, ck in gf._BLOCK_CANDIDATES:
+            cl = math.lcm(cq, ck)
+            assert pad <= -(-s // cl) * cl
+
+
 def test_bf16_matches_f32_dense():
     """Production dtype: matmul inputs stay bf16 in-kernel (P is cast to
     bf16 for P@V).  Validate against the f32 dense reference within
