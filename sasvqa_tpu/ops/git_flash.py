@@ -42,6 +42,10 @@ DEFAULT_BK = 1024
 # the (bq,bk) f32 temporaries (s/p/dp/ds) live in VMEM (~16 MB/core).
 _BLOCK_CANDIDATES = ((512, 1024), (896, 896), (640, 640), (768, 768),
                      (512, 512), (384, 768), (384, 640), (256, 512))
+# NOTE: blocks below ~512x512 lose even when they pad less: at S=4144,
+# (384,384) pads to 4224 vs (896,896)'s 4480 yet measures 5% SLOWER
+# (1256 vs 1194 ms on the vitl16 config) — tile-size MXU/pipeline
+# amortisation beats the padded-area model once tiles shrink.
 
 
 def _choose_blocks(s: int) -> Tuple[int, int]:
@@ -195,8 +199,14 @@ def _dq_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
 
 def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                dk_ref, dv_ref, *, bq: int, scale: float, num_img: int):
-    """grid = (B*H, nk): dK/dV for one key block."""
+                dk_ref, dv_ref, *, bq: int, scale: float, num_img: int,
+                col_base: int = 0, mask: bool = True):
+    """grid = (B*H, nk): dK/dV for one key block.
+
+    The mask decision is per KEY block = per program here, so the static
+    split happens at the pallas_call level (_backward launches a
+    mask-free call over the image-column prefix and a masked call over
+    the tail, offset by ``col_base`` blocks)."""
     ki = pl.program_id(1)
     bk = k_ref.shape[1]
     k = k_ref[0]                                       # (BK, Dh) bf16
@@ -213,7 +223,9 @@ def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                         axis=-1)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = _mask_block(s, i * bq, ki * bk, colmask_ref, num_img)
+        if mask:
+            s = _mask_block(s, i * bq, col_base + ki * bk, colmask_ref,
+                            num_img)
         p = jnp.exp(s - lse[:, None])                  # (BQ, BK)
         pc = p.astype(do.dtype)
         dv_acc = dv_acc + jax.lax.dot_general(
@@ -319,19 +331,41 @@ def _backward(res, g, num_img, bq, bk, b, h, s, dh):
         interpret=_INTERPRET,
     )(colmask, qp, kp, vp, gp, outp, lse)
 
-    kblk = lambda: pl.BlockSpec((1, bk, dh), lambda bh_i, i: (bh_i, i, 0),
-                                memory_space=pltpu.VMEM)
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, bq=bq, scale=dh ** -0.5,
-                          num_img=num_img),
-        grid=(b * h, s_pad // bk),
-        in_specs=[cm_spec, full(), kblk(), kblk(), full(), full(),
-                  lse_full],
-        out_specs=(kblk(), kblk()),
-        out_shape=(jax.ShapeDtypeStruct((b * h, s_pad, dh), kp.dtype),
-                   jax.ShapeDtypeStruct((b * h, s_pad, dh), vp.dtype)),
-        interpret=_INTERPRET,
-    )(colmask, qp, kp, vp, gp, outp, lse)
+    # dK/dV: the mask decision is per key block, so split statically into
+    # a mask-free call over the all-image-column prefix and a masked call
+    # over the tail (same rationale as _n_unmasked_blocks)
+    nk = s_pad // bk
+    nk_free = _n_unmasked_blocks(num_img, bk, nk)
+
+    def dkv_call(n_blocks, col_base, mask):
+        kblk_in = lambda: pl.BlockSpec(
+            (1, bk, dh),
+            lambda bh_i, i, o=col_base // bk: (bh_i, i + o, 0),
+            memory_space=pltpu.VMEM)
+        kblk_out = lambda: pl.BlockSpec(
+            (1, bk, dh), lambda bh_i, i: (bh_i, i, 0),
+            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_dkv_kernel, bq=bq, scale=dh ** -0.5,
+                              num_img=num_img, col_base=col_base,
+                              mask=mask),
+            grid=(b * h, n_blocks),
+            in_specs=[cm_spec, full(), kblk_in(), kblk_in(), full(),
+                      full(), lse_full],
+            out_specs=(kblk_out(), kblk_out()),
+            out_shape=(
+                jax.ShapeDtypeStruct((b * h, n_blocks * bk, dh), kp.dtype),
+                jax.ShapeDtypeStruct((b * h, n_blocks * bk, dh), vp.dtype)),
+            interpret=_INTERPRET,
+        )(colmask, qp, kp, vp, gp, outp, lse)
+
+    if 0 < nk_free < nk:
+        dk_a, dv_a = dkv_call(nk_free, 0, mask=False)
+        dk_b, dv_b = dkv_call(nk - nk_free, nk_free * bk, mask=True)
+        dk = jnp.concatenate([dk_a, dk_b], axis=1)
+        dv = jnp.concatenate([dv_a, dv_b], axis=1)
+    else:
+        dk, dv = dkv_call(nk, 0, mask=True)
 
     unpad = lambda x: x.reshape(b, h, s_pad, dh)[:, :, :s, :]
     return unpad(dq), unpad(dk), unpad(dv)

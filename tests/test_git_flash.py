@@ -52,7 +52,8 @@ def test_choose_blocks_minimises_padding():
     import math
     assert gf._choose_blocks(1608) == (896, 896)   # pad 1792 (not 2048)
     assert gf._choose_blocks(4096) == (512, 1024)  # exact fit, big tiles
-    assert gf._choose_blocks(4144) == (896, 896)   # pad 4480 (not 5120)
+    assert gf._choose_blocks(4144) == (896, 896)   # pad 4480 (not 5120;
+    # sub-512 tiles pad less but measure slower — see _BLOCK_CANDIDATES)
     # chosen pad is optimal over the candidate set for any S
     for s in (197, 1608, 2000, 4144, 8192):
         bq, bk = gf._choose_blocks(s)
