@@ -90,6 +90,30 @@ def fsdp_param_sharding(params: Any, mesh: Mesh,
     return jax.tree_util.tree_map(shard_of, params)
 
 
+def param_sharding_for_mesh(params: Any, mesh: Optional[Mesh],
+                            min_size: int = 2 ** 16) -> Optional[Any]:
+    """Sharding tree implied by the mesh's axis names, or None when the
+    mesh is data-only (params replicated — the common case).
+
+    ``--mesh_axes data fsdp``        -> ZeRO-3 param sharding
+    ``--mesh_axes data model``       -> Megatron tensor parallelism
+    ``--mesh_axes data fsdp model``  -> TP + ZeRO on the other dim
+    This is the single dispatch point the task entry uses, so the CLI
+    mesh flags fully select the parallelism strategy."""
+    if mesh is None:
+        return None
+    names = mesh.axis_names
+    has = lambda a: a in names and mesh.shape[a] > 1
+    if has("model"):
+        from sasvqa_tpu.parallel.tp import tp_param_sharding
+        return tp_param_sharding(params, mesh,
+                                 fsdp_axis="fsdp" if has("fsdp") else None,
+                                 min_size=min_size)
+    if has("fsdp"):
+        return fsdp_param_sharding(params, mesh, min_size=min_size)
+    return None
+
+
 def pad_batch_to_multiple(batch: Any, multiple: int) -> Any:
     """Pad the leading axis of every array leaf to a multiple of the data
     axis size (uneven final batches would otherwise fail to shard).

@@ -276,6 +276,14 @@ def start_training(cfg) -> Dict[str, Any]:
     if weights_path:
         params = load_pretrained_params(family, model, params, weights_path)
 
+    # fsdp/model mesh axes shard the params (ZeRO / Megatron-TP,
+    # parallel/mesh.param_sharding_for_mesh); optimizer moments inherit
+    # the layout because optax init zeros_like-s the sharded params
+    from sasvqa_tpu.parallel.mesh import param_sharding_for_mesh
+    p_shard = param_sharding_for_mesh(params, mesh)
+    if p_shard is not None:
+        params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+
     state = train_steps.create_train_state(
         model, params, cfg, total_steps=cfg.num_train_steps)
 
@@ -307,10 +315,14 @@ def start_training(cfg) -> Dict[str, Any]:
             LOGGER.info(f"inference: restoring eval snapshot "
                         f"model_step_{target} from {saver.dir}")
             loaded = saver.restore(int(target), template=state.params)
-            # restored leaves are committed to one device; replicate over
-            # the mesh so sharded eval steps accept them
+            # restored leaves are committed to one device; re-place them
+            # with the mesh's param sharding (replicated for data-only)
             from sasvqa_tpu.parallel.mesh import replicated
-            loaded = jax.device_put(loaded, replicated(mesh))
+            if p_shard is not None:
+                loaded = jax.tree_util.tree_map(jax.device_put, loaded,
+                                                p_shard)
+            else:
+                loaded = jax.device_put(loaded, replicated(mesh))
             state = state.replace(params=loaded)
 
     if is_mc:

@@ -89,6 +89,21 @@ def test_git_end_to_end(synth, tmp_path):
     assert "overall_acc" in result["val"]
 
 
+def test_git_e2e_tensor_parallel_mesh(synth, tmp_path):
+    """--mesh_axes data model selects Megatron-TP from the CLI: the full
+    runner (train + generative validate) executes on a (data=2, model=2)
+    mesh with projection params actually sharded on 'model'."""
+    from sasvqa_tpu.tasks.run_video_qa import main
+    cfg_path = _write_config(
+        tmp_path, synth,
+        {"pretrained_model": "tiny-git", "vocab_size": 512, "img_len": 2},
+        gen_max_text_len=24, gen_max_new_tokens=4,
+        mesh_shape=[2, 2], mesh_axes=["data", "model"])
+    result = main(["--task", "msvd_qa", "--config", cfg_path])
+    assert np.isfinite(result["train_loss"])
+    assert "overall_acc" in result["val"]
+
+
 def test_tgif_action_multiple_choice(tmp_path_factory, tmp_path):
     """TGIF-QA action MC: per-option scoring head, option-index labels."""
     from sasvqa_tpu.data.synthetic import make_synthetic_mc_dataset
