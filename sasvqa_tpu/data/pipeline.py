@@ -45,12 +45,21 @@ def shard_for_host(indices: np.ndarray,
     """Per-host slice of a sample ordering (multi-host input sharding;
     replaces the reference's DistributedSampler usage, SURVEY.md §5.8).
 
-    Deterministic contiguous-stride split so every host sees a disjoint
-    subset; defaults read jax.process_index()/process_count().
+    Deterministic stride split, padded to EQUAL per-host length by
+    wrapping from the front of the ordering (torch DistributedSampler
+    semantics).  Equal lengths are a correctness requirement, not a
+    convenience: hosts consume one batch per global step in lockstep,
+    so unequal shards under drop_last would roll hosts into different
+    epoch permutations and silently break disjointness.
+    Defaults read jax.process_index()/process_count().
     """
     import jax
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
+    n = len(indices)
+    total = -(-n // pc) * pc            # ceil to a multiple of pc
+    if total > n and n > 0:
+        indices = np.concatenate([indices, indices[:total - n]])
     return indices[pi::pc]
 
 
@@ -175,6 +184,11 @@ def epoch_batches(dataset, collator, batch_size: int, shuffle: bool,
                     if rng is not None else 0)
     if pc > 1:
         order = shard_for_host(order, pi, pc)
+    if drop_last and len(order) < batch_size:
+        raise ValueError(
+            f"per-host shard of {len(order)} samples yields zero "
+            f"drop_last batches of size {batch_size} — training would "
+            f"spin forever; shrink the batch or the host count")
     batches = batch_indices(len(order), batch_size, False, None,
                             drop_last=drop_last, order=order)
     seeds = [(collate_seed, pi, b) for b in range(len(batches))]

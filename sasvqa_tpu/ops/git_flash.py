@@ -40,12 +40,14 @@ DEFAULT_BK = 1024
 # bk: in-kernel minor-dim colmask slice offsets), s_pad a multiple of
 # both (grid / key-loop trip counts).  bq*bk is capped near 512*1024:
 # the (bq,bk) f32 temporaries (s/p/dp/ds) live in VMEM (~16 MB/core).
-_BLOCK_CANDIDATES = ((512, 1024), (896, 896), (640, 640), (768, 768),
-                     (512, 512), (384, 768), (384, 640), (256, 512))
+_BLOCK_CANDIDATES = ((512, 1024), (896, 896), (768, 768), (640, 640),
+                     (512, 512))
 # NOTE: blocks below ~512x512 lose even when they pad less: at S=4144,
 # (384,384) pads to 4224 vs (896,896)'s 4480 yet measures 5% SLOWER
 # (1256 vs 1194 ms on the vitl16 config) — tile-size MXU/pipeline
-# amortisation beats the padded-area model once tiles shrink.
+# amortisation beats the padded-area model once tiles shrink.  Mixed
+# pairs like (384,768)/(256,512) are dominated by their square lcm-mates
+# and can never be chosen — keep the list to selectable entries only.
 
 
 def _choose_blocks(s: int) -> Tuple[int, int]:
@@ -246,8 +248,13 @@ def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
 
 def _prepare(q, k, v, attention_mask, num_img, bq, bk):
+    import math
     b, h, s, dh = q.shape
-    s_pad = s + ((-s) % max(bq, bk))
+    # pad to a multiple of BOTH blocks: the grids floor-divide s_pad by
+    # bq (query programs) and bk (key loop trips / dkv programs), so a
+    # max()-based pad would silently skip tail rows for non-dividing
+    # user-supplied pairs
+    s_pad = s + ((-s) % math.lcm(bq, bk))
     pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
     qp = pad(q).reshape(b * h, s_pad, dh)
     kp = pad(k).reshape(b * h, s_pad, dh)
@@ -377,14 +384,17 @@ def git_flash_attention(q, k, v, attention_mask, num_img: int,
     """(B, H, S, Dh) self-attention under the GIT combined mask.
 
     attention_mask: (B, L) text padding mask with S = num_img + L.
-    block_q/block_k default to a shape-aware choice (see _choose_blocks);
-    they must be resolved *here*, outside the custom_vjp, so forward and
-    backward agree.
+    block_q/block_k default to a shape-aware choice (see _choose_blocks)
+    when BOTH are unset; setting only one makes the other match it
+    (square blocks) — mixing a user block with a shape-chosen one would
+    inflate the lcm padding.  Resolution happens *here*, outside the
+    custom_vjp, so forward and backward agree.
     """
-    if block_q is None or block_k is None:
-        bq, bk = _choose_blocks(q.shape[-2])
-        block_q = block_q or bq
-        block_k = block_k or bk
+    if block_q is None and block_k is None:
+        block_q, block_k = _choose_blocks(q.shape[-2])
+    else:
+        block_q = block_q or block_k
+        block_k = block_k or block_q
     return _git_flash_core(q, k, v, attention_mask, num_img,
                            block_q, block_k)
 

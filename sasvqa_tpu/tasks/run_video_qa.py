@@ -156,11 +156,10 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
             batch = pad_batch_to_multiple(batch, pad_to)
         return {k: v for k, v in batch.items() if v is not None}
 
-    from sasvqa_tpu.data.pipeline import batch_indices
+    from sasvqa_tpu.data.pipeline import batch_indices, collate_indices
     for b_idx, idx in enumerate(batch_indices(
             len(dataset), eval_bs, False, None)):
-        items = [dataset.get_group(int(i)) for i in idx]
-        batch = collator(items, rng=eval_rng)
+        batch = collate_indices(dataset, collator, idx, eval_rng)
         question_ids = batch.pop("question_ids")
         n_real = len(question_ids)
         batch = prep(batch)

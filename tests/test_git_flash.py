@@ -48,7 +48,7 @@ def test_choose_blocks_minimises_padding():
     """Shape-aware block chooser: minimise padded S^2 work, prefer big
     tiles on ties.  S=1608 (8-frame GIT-base) must pick 896x896 (pad
     1792, vs 2048 for the 512x1024 default); S=4144 (16-frame ViT-L)
-    must keep 512x1024 (pad 4096... exactly; 896 would pad to 4480)."""
+    picks 896x896 (pad 4480, vs 5120 for 512x1024)."""
     import math
     assert gf._choose_blocks(1608) == (896, 896)   # pad 1792 (not 2048)
     assert gf._choose_blocks(4096) == (512, 1024)  # exact fit, big tiles

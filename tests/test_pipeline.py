@@ -25,14 +25,21 @@ def test_batch_indices_drop_last():
     assert len(batches) == 3
 
 
-def test_shard_for_host_disjoint_cover():
+def test_shard_for_host_equal_cover():
+    """DistributedSampler semantics: every host gets ceil(n/pc) samples
+    (wrap-padded from the front), shards cover the dataset, and overlap
+    is exactly the pad duplicates.  Equal lengths are load-bearing:
+    unequal shards would give hosts different batch counts per epoch
+    and desynchronize their epoch permutations under drop_last."""
     idx = np.arange(21)
     shards = [shard_for_host(idx, pi, 4) for pi in range(4)]
-    merged = sorted(np.concatenate(shards).tolist())
-    assert merged == list(range(21))
-    for i in range(4):
-        for j in range(i + 1, 4):
-            assert not set(shards[i]) & set(shards[j])
+    assert all(len(s) == 6 for s in shards)            # ceil(21/4)
+    merged = np.concatenate(shards)
+    assert sorted(set(merged.tolist())) == list(range(21))
+    assert len(merged) - len(set(merged.tolist())) == 3  # 24 - 21 pads
+    # exact split (no padding) stays perfectly disjoint
+    shards = [shard_for_host(np.arange(20), pi, 4) for pi in range(4)]
+    assert sorted(np.concatenate(shards).tolist()) == list(range(20))
 
 
 class _IdxDataset:
@@ -54,8 +61,9 @@ def _idx_collator(items, rng=None):
 
 def test_epoch_batches_hosts_see_disjoint_data():
     """Multi-host input sharding: same seed -> same epoch permutation ->
-    disjoint per-host slices that cover the dataset (DistributedSampler
-    replacement, run_video_retrieval.py:109-111)."""
+    per-host slices that cover the dataset, overlapping only in the
+    wrap-pad sample (DistributedSampler replacement,
+    run_video_retrieval.py:109-111)."""
     from sasvqa_tpu.data.pipeline import epoch_batches
     ds = _IdxDataset(23)
     per_host = []
@@ -65,8 +73,10 @@ def test_epoch_batches_hosts_see_disjoint_data():
             ds, _idx_collator, 4, shuffle=True, rng=rng,
             process_index=pi, process_count=2)]
         per_host.append(np.concatenate(got))
-    assert not set(per_host[0]) & set(per_host[1])
-    assert sorted(np.concatenate(per_host).tolist()) == list(range(23))
+    assert len(per_host[0]) == len(per_host[1]) == 12    # ceil(23/2)
+    assert len(set(per_host[0]) & set(per_host[1])) <= 1  # 1 pad dup
+    assert sorted(set(np.concatenate(per_host).tolist())) == \
+        list(range(23))
 
 
 def test_epoch_batches_hosts_stay_synced_across_epochs():
@@ -75,18 +85,24 @@ def test_epoch_batches_hosts_stay_synced_across_epochs():
     'disjoint cover' property silently breaks (epoch_batches draws
     exactly two seeds per epoch regardless of shard/batch count)."""
     from sasvqa_tpu.data.pipeline import epoch_batches
-    ds = _IdxDataset(23)  # 2 hosts -> shards of 12 and 11 (unequal)
+    ds = _IdxDataset(23)  # 2 hosts; wrap-pad equalizes 12/11 -> 12/12
     per_host_epoch2 = []
+    n_batches = []
     for pi in range(2):
         rng = np.random.default_rng(9)
         for epoch in range(2):
+            # drop_last=True is the training path: equal per-host batch
+            # counts are what keep hosts in the same epoch at the same
+            # global step (the wrap-pad in shard_for_host guarantees it)
             got = [b["idx"] for b in epoch_batches(
                 ds, _idx_collator, 4, shuffle=True, rng=rng,
-                process_index=pi, process_count=2)]
+                drop_last=True, process_index=pi, process_count=2)]
+        n_batches.append(len(got))
         per_host_epoch2.append(np.concatenate(got))
-    assert not set(per_host_epoch2[0]) & set(per_host_epoch2[1])
-    assert sorted(np.concatenate(per_host_epoch2).tolist()) == \
-        list(range(23))
+    assert n_batches[0] == n_batches[1] == 3             # 12 // 4
+    # epoch-2 permutations are identical across hosts: the kept (first
+    # 12-sample) slices overlap only in wrap-pad duplicates
+    assert len(set(per_host_epoch2[0]) & set(per_host_epoch2[1])) <= 1
 
 
 def test_epoch_batches_worker_pool_matches_serial_and_is_deterministic():
