@@ -44,6 +44,27 @@ def test_matches_dense_mask(num_img, l):
                                atol=3e-5, rtol=1e-4)
 
 
+def test_non_dividing_block_pair_covers_all_rows():
+    """Regression: explicit (bq, bk) whose lcm exceeds max(bq, bk) — a
+    max()-based pad used to leave the tail query rows unwritten; padding
+    must go to the lcm so every row is computed."""
+    b, h, num_img, l, d = 1, 2, 128, 24, 64   # s=152; lcm(128,192)=384
+    s = num_img + l
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.asarray(np.ones((b, l), np.int32))
+    out = gf.git_flash_attention(q, k, v, mask, num_img,
+                                 block_q=128, block_k=192)
+    ref = _xla_ref(q, k, v, git_attention_bias(num_img, mask))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+    # partial override resolves square (no mixed user/chosen pairs)
+    out2 = gf.git_flash_attention(q, k, v, mask, num_img, block_q=128)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_choose_blocks_minimises_padding():
     """Shape-aware block chooser: minimise padded S^2 work, prefer big
     tiles on ties.  S=1608 (8-frame GIT-base) must pick 896x896 (pad
