@@ -22,7 +22,9 @@ LOGGER = logging.getLogger("sasvqa")
 
 def add_log_to_file(log_path: str) -> None:
     """Attach a file handler (reference: src/utils/logger.py:15-19)."""
-    os.makedirs(os.path.dirname(log_path), exist_ok=True)
+    parent = os.path.dirname(log_path)
+    if parent:                       # makedirs("") raises on bare names
+        os.makedirs(parent, exist_ok=True)
     fh = logging.FileHandler(log_path)
     fh.setFormatter(logging.Formatter(_LOG_FMT, datefmt=_DATE_FMT))
     LOGGER.addHandler(fh)

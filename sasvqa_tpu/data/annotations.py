@@ -159,15 +159,18 @@ def evaluate_qa(results: List[Dict[str, Any]],
     preds, gts, answer_types = [], [], []
     qid2pred = {r["question_id"]: r["answer"] for r in results}
     for qid, pred in qid2pred.items():
-        if isinstance(pred, list):
-            preds.extend(pred)
-        else:
-            preds.append(pred)
+        # list-valued answers (per-clip predictions): the gt/type rows
+        # must extend in LOCKSTEP with the preds or the comparison
+        # arrays misalign (reference extends both, dataset_video_qa.py)
+        pred = pred if isinstance(pred, list) else [pred]
+        preds.extend(pred)
         gt_data = qid2data[qid]
-        gts.append(ans2label.get(gt_data["answer"], IGNORE_INDEX))
+        gts.extend([ans2label.get(gt_data["answer"], IGNORE_INDEX)]
+                   * len(pred))
         if task_type in OPEN_ENDED_TASKS:
-            answer_types.append(
-                ANSWER_TYPE2IDX[task_type][gt_data["answer_type"]])
+            answer_types.extend(
+                [ANSWER_TYPE2IDX[task_type][gt_data["answer_type"]]]
+                * len(pred))
 
     preds, gts = np.array(preds), np.array(gts)
     metrics: Dict[str, Any] = {}

@@ -69,6 +69,11 @@ class VideoQADataset:
             return self.get_group(_random.randrange(len(self)),
                                   _retries=_retries - 1)
         exs = [self._single_example(e) for e in examples]
+        # GROUP-level sampled_inds = the FIRST example's ranking, exactly
+        # as the reference (dataset_video_qa.py:74 pops examples[0]'s) —
+        # with max_n_example_per_group > 1 other questions in the group
+        # share frame ranks computed for question 0.  MIF configs run
+        # group size 1 in practice, where this is exact.
         return dict(vid=frames, examples=exs, n_examples=len(exs),
                     sampled_inds=exs[0].get("sampled_inds"))
 

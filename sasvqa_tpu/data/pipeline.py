@@ -301,10 +301,16 @@ class DevicePrefetcher:
         except BaseException as e:  # surface in consumer thread
             self._err = e
         finally:
-            try:
-                self._q.put_nowait(_SENTINEL)
-            except queue.Full:
-                pass
+            # the sentinel MUST land: dropping it on queue.Full (both
+            # slots holding staged batches) would leave the consumer
+            # blocked in _q.get() forever and swallow self._err.  Block
+            # with the same stop-aware retry as the normal put path.
+            while not self._stop.is_set():
+                try:
+                    self._q.put(_SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     def close(self):
         """Stop the producer and release the staged device batches.

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from sasvqa_tpu.models.clip import CLIPVisionConfig, CLIPVisionEncoder
-from sasvqa_tpu.models.layers import ACT2FN, merge_heads, split_heads
+from sasvqa_tpu.models.layers import BertFFN, merge_heads, split_heads
 from sasvqa_tpu.ops.attention import NEG_INF, dot_product_attention
 
 
@@ -113,26 +113,6 @@ class GitAttention(nn.Module):
         return self.finish(hidden, q, k, v, bias, deterministic, use_flash)
 
 
-class GitFFN(nn.Module):
-    hidden_size: int
-    intermediate_size: int
-    activation: str
-    layer_norm_eps: float
-    dropout_rate: float
-    dtype: jnp.dtype = jnp.float32
-
-    def setup(self):
-        self.intermediate = nn.Dense(self.intermediate_size, dtype=self.dtype)
-        self.output = nn.Dense(self.hidden_size, dtype=self.dtype)
-        self.ln = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype)
-        self.drop = nn.Dropout(self.dropout_rate)
-
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        h = self.output(ACT2FN[self.activation](self.intermediate(x)))
-        h = self.drop(h, deterministic=deterministic)
-        return self.ln(x + h)
-
-
 class GitLayer(nn.Module):
     config: GITConfig
     dtype: jnp.dtype = jnp.float32
@@ -142,8 +122,11 @@ class GitLayer(nn.Module):
         self.attention = GitAttention(c.hidden_size, c.num_heads,
                                       c.layer_norm_eps, c.dropout,
                                       dtype=self.dtype)
-        self.ffn = GitFFN(c.hidden_size, c.intermediate_size, c.hidden_act,
-                          c.layer_norm_eps, c.dropout, dtype=self.dtype)
+        # shared BERT FFN block: identical structure AND param names
+        # (intermediate/output/ln), so converters and checkpoints are
+        # unaffected by the swap
+        self.ffn = BertFFN(c.intermediate_size, c.hidden_act,
+                           c.layer_norm_eps, c.dropout, dtype=self.dtype)
 
     def __call__(self, x, bias=None, deterministic=True, use_flash=None,
                  git_mask=None):

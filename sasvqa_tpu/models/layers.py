@@ -10,10 +10,20 @@ Covers both layer conventions used by the model families:
 Parameter layout intentionally mirrors the HF module names (q_proj /
 k_proj / v_proj / out_proj, fc1 / fc2, ...) so the HF->Flax weight
 converter (models/convert.py) is a mechanical rename.
+
+DELIBERATE DIVERGENCE — attention-probability dropout: the HF models
+apply ``attention_probs_dropout_prob`` (0.1) to the softmax weights;
+every attention block here applies dropout only after the output
+projection.  Dropout inside the attention matmul is incompatible with
+the Pallas flash kernels (the standard flash formulation recomputes
+probabilities in backward and never materialises them), and regularises
+only marginally differently; hidden/output dropout rates are preserved.
+Documented also in PARITY.md.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
@@ -27,12 +37,18 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+# HF key semantics: "gelu"/"gelu_python" are EXACT erf GELU; only the
+# _new/_pytorch_tanh variants are the tanh approximation.  flax
+# nn.gelu defaults to approximate=True, so the exact keys must override
+# it — mapping them to the default drifts ~4e-4 per activation vs the
+# ported HF weights' reference semantics, compounding over 6-12 layers.
+_gelu_exact = functools.partial(nn.gelu, approximate=False)
 ACT2FN = {
-    "gelu": nn.gelu,
+    "gelu": _gelu_exact,
     "gelu_new": nn.gelu,
     "quick_gelu": quick_gelu,
     "relu": nn.relu,
-    "gelu_python": nn.gelu,
+    "gelu_python": _gelu_exact,
     "gelu_pytorch_tanh": nn.gelu,
 }
 
@@ -143,9 +159,9 @@ class PreLNBlock(nn.Module):
 class BertSelfAttention(nn.Module):
     """BERT attention sub-block: MHA -> dense -> dropout -> +res -> LN.
 
-    Supports an external KV source for the attention (GIT decode-time
-    cached keys) via ``precomputed_kv``: a (k, v) tuple already split
-    into heads, in which case k/v projections are skipped.
+    ``kv_states`` enables cross-attention (keys/values projected from a
+    different sequence).  GIT's decode-time KV caching lives in
+    models/git.GitAttention, not here.
     """
 
     num_heads: int
@@ -165,17 +181,13 @@ class BertSelfAttention(nn.Module):
     def __call__(self, hidden: jax.Array,
                  bias: Optional[jax.Array] = None,
                  kv_states: Optional[jax.Array] = None,
-                 precomputed_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
                  deterministic: bool = True,
                  use_flash: Optional[bool] = None) -> jax.Array:
         d = hidden.shape[-1]
         q = split_heads(nn.Dense(d, dtype=self.dtype, name="query")(hidden),
                         self.num_heads)
-        if precomputed_kv is not None:
-            k, v = precomputed_kv
-        else:
-            kv_src = hidden if kv_states is None else kv_states
-            k, v = self.project_kv(kv_src)
+        kv_src = hidden if kv_states is None else kv_states
+        k, v = self.project_kv(kv_src)
         ctx = merge_heads(dot_product_attention(q, k, v, bias=bias,
                                                 use_flash=use_flash))
         out = nn.Dense(d, dtype=self.dtype, name="out_dense")(ctx)
@@ -225,14 +237,12 @@ class PostLNBlock(nn.Module):
                  bias: Optional[jax.Array] = None,
                  encoder_hidden: Optional[jax.Array] = None,
                  encoder_bias: Optional[jax.Array] = None,
-                 precomputed_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
                  deterministic: bool = True,
                  use_flash: Optional[bool] = None) -> jax.Array:
         x = BertSelfAttention(self.num_heads, self.layer_norm_eps,
                               self.dropout_rate, dtype=self.dtype,
                               name="attention")(
-            x, bias=bias, precomputed_kv=precomputed_kv,
-            deterministic=deterministic, use_flash=use_flash)
+            x, bias=bias, deterministic=deterministic, use_flash=use_flash)
         if self.cross_attention:
             assert encoder_hidden is not None
             x = BertSelfAttention(self.num_heads, self.layer_norm_eps,

@@ -175,7 +175,9 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
             from sasvqa_tpu.train.retrieval import aggregate_clip_scores
             all_logits = [np.asarray(logits_step(state, batch))[:n_real]]
             for _ in range(ensemble - 1):
-                b2 = collator(items, rng=eval_rng)
+                # re-collate the same groups: frame re-sampling draws a
+                # fresh clip from eval_rng each pass
+                b2 = collate_indices(dataset, collator, idx, eval_rng)
                 b2.pop("question_ids")
                 all_logits.append(
                     np.asarray(logits_step(state, prep(b2)))[:n_real])

@@ -75,10 +75,10 @@ def test_clip_text_parity(text_batch):
                                      jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(last),
                                ref.last_hidden_state.numpy(),
-                               atol=2e-4, rtol=1e-3)
+                               atol=5e-5, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(pooled),
                                ref.pooler_output.numpy(),
-                               atol=2e-4, rtol=1e-3)
+                               atol=5e-5, rtol=5e-4)
 
 
 def test_clip_vision_parity(pixels):
@@ -101,9 +101,9 @@ def test_clip_vision_parity(pixels):
     last, pooled, embeds = jax.jit(fx.apply)(params, jnp.asarray(pixels))
     np.testing.assert_allclose(np.asarray(last),
                                ref.last_hidden_state.numpy(),
-                               atol=2e-4, rtol=1e-3)
+                               atol=5e-5, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(embeds), ref.image_embeds.numpy(),
-                               atol=2e-4, rtol=1e-3)
+                               atol=5e-5, rtol=5e-4)
 
 
 def _git_model(num_frames=None):
@@ -153,7 +153,7 @@ def test_git_parity(text_batch, pixels):
     out = jax.jit(lambda p, i, m, x: fx.apply(p, i, m, x))(
         params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(frames))
     np.testing.assert_allclose(np.asarray(out["logits"]),
-                               ref.logits.numpy(), atol=3e-4, rtol=1e-3)
+                               ref.logits.numpy(), atol=1e-4, rtol=5e-4)
 
 
 def test_git_loss_matches_hf(text_batch, pixels):
@@ -186,7 +186,7 @@ def test_git_loss_matches_hf(text_batch, pixels):
         params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(frames),
         jnp.asarray(labels))
     np.testing.assert_allclose(float(out["loss"]), float(ref_loss),
-                               atol=2e-4, rtol=1e-3)
+                               atol=5e-5, rtol=5e-4)
 
 
 def test_git_greedy_generate_matches_hf(text_batch, pixels):
@@ -286,10 +286,10 @@ def test_blip_parity(text_batch, pixels):
     last_v, pooled_v = jax.jit(fx_v.apply)(pv, jnp.asarray(pixels))
     np.testing.assert_allclose(np.asarray(last_v),
                                ref_v.last_hidden_state.numpy(),
-                               atol=2e-4, rtol=1e-3)
+                               atol=5e-5, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(pooled_v),
                                ref_v.pooler_output.numpy(),
-                               atol=2e-4, rtol=1e-3)
+                               atol=5e-5, rtol=5e-4)
 
     # text side without cross-attention (pure BERT encoder parity)
     hf_t = BlipTextModel(tcfg, add_pooling_layer=True).eval()
@@ -306,10 +306,10 @@ def test_blip_parity(text_batch, pixels):
                                              jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(last_t),
                                ref_t.last_hidden_state.numpy(),
-                               atol=2e-4, rtol=1e-3)
+                               atol=5e-5, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(pooled_t),
                                ref_t.pooler_output.numpy(),
-                               atol=2e-4, rtol=1e-3)
+                               atol=5e-5, rtol=5e-4)
 
 
 def test_clip_text_projection_parity(text_batch):
@@ -335,4 +335,4 @@ def test_clip_text_projection_parity(text_batch):
                                   jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(pooled),
                                ref.text_embeds.numpy(),
-                               atol=2e-4, rtol=1e-3)
+                               atol=5e-5, rtol=5e-4)
