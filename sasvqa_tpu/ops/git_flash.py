@@ -21,6 +21,7 @@ Mask arithmetic is all-f32 (Mosaic rejects i1 vector logic ops).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -58,7 +59,6 @@ def _choose_blocks(s: int) -> Tuple[int, int]:
     while (896,896) pads to 1792 (1.24x) and measures ~15% faster
     end-to-end on the flagship step.  Ties prefer bigger tiles (MXU
     amortisation)."""
-    import math
     best, best_cost = None, None
     for bq, bk in _BLOCK_CANDIDATES:
         l = math.lcm(bq, bk)
@@ -248,7 +248,6 @@ def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
 
 def _prepare(q, k, v, attention_mask, num_img, bq, bk):
-    import math
     b, h, s, dh = q.shape
     # pad to a multiple of BOTH blocks: the grids floor-divide s_pad by
     # bq (query programs) and bk (key loop trips / dkv programs), so a
@@ -395,6 +394,11 @@ def git_flash_attention(q, k, v, attention_mask, num_img: int,
     else:
         block_q = block_q or block_k
         block_k = block_k or block_q
+        if not _INTERPRET and (block_q % 128 or block_k % 128):
+            # Mosaic constraint (see _BLOCK_CANDIDATES): catch it here
+            # as a clear error instead of an opaque lowering failure
+            raise ValueError(f"git_flash blocks must be multiples of "
+                             f"128 on TPU, got ({block_q}, {block_k})")
     return _git_flash_core(q, k, v, attention_mask, num_img,
                            block_q, block_k)
 

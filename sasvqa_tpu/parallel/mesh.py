@@ -114,6 +114,24 @@ def param_sharding_for_mesh(params: Any, mesh: Optional[Mesh],
     return None
 
 
+def fetch_params_for_save(params: Any, mesh: Optional[Mesh]) -> Any:
+    """Host copy of (possibly sharded) params for an eval snapshot.
+
+    The host copy is load-bearing: eval snapshots save asynchronously
+    while the next train step DONATES the param buffers, so the saver
+    must not hold device references.  On one host jax.device_get works
+    for any local sharding; on a pod, fsdp/model-sharded leaves span
+    non-addressable devices, so replicate first with a jitted identity
+    (XLA inserts the all-gathers over ICI)."""
+    if mesh is not None and jax.process_count() > 1:
+        from jax.sharding import PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        params = jax.jit(lambda x: x,
+                         out_shardings=jax.tree_util.tree_map(
+                             lambda _: rep, params))(params)
+    return jax.device_get(params)
+
+
 def pad_batch_to_multiple(batch: Any, multiple: int) -> Any:
     """Pad the leading axis of every array leaf to a multiple of the data
     axis size (uneven final batches would otherwise fail to shard).

@@ -174,10 +174,13 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
         elif ensemble > 1:
             from sasvqa_tpu.train.retrieval import aggregate_clip_scores
             all_logits = [np.asarray(logits_step(state, batch))[:n_real]]
+            # fetch the groups ONCE: frame re-sampling happens in the
+            # collator, so extra clips only need to re-run it — going
+            # through collate_indices again would re-read every video's
+            # full frame set from HDF5 per clip
+            items = [dataset.get_group(int(i)) for i in idx]
             for _ in range(ensemble - 1):
-                # re-collate the same groups: frame re-sampling draws a
-                # fresh clip from eval_rng each pass
-                b2 = collate_indices(dataset, collator, idx, eval_rng)
+                b2 = collator(items, rng=eval_rng)
                 b2.pop("question_ids")
                 all_logits.append(
                     np.asarray(logits_step(state, prep(b2)))[:n_real])
@@ -283,7 +286,9 @@ def start_training(cfg) -> Dict[str, Any]:
     from sasvqa_tpu.parallel.mesh import param_sharding_for_mesh
     p_shard = param_sharding_for_mesh(params, mesh)
     if p_shard is not None:
-        params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+        # single device_put call: a per-leaf tree_map would issue one
+        # host round-trip per leaf (~34 ms each over a tunneled chip)
+        params = jax.device_put(params, p_shard)
 
     state = train_steps.create_train_state(
         model, params, cfg, total_steps=cfg.num_train_steps)
@@ -319,11 +324,9 @@ def start_training(cfg) -> Dict[str, Any]:
             # restored leaves are committed to one device; re-place them
             # with the mesh's param sharding (replicated for data-only)
             from sasvqa_tpu.parallel.mesh import replicated
-            if p_shard is not None:
-                loaded = jax.tree_util.tree_map(jax.device_put, loaded,
-                                                p_shard)
-            else:
-                loaded = jax.device_put(loaded, replicated(mesh))
+            loaded = jax.device_put(
+                loaded, p_shard if p_shard is not None
+                else replicated(mesh))
             state = state.replace(params=loaded)
 
     if is_mc:
@@ -463,7 +466,9 @@ def start_training(cfg) -> Dict[str, Any]:
                 total_correct = total_preds = 0
                 res_v, _ = run_validation()
                 last_scores = res_v["scores"]
-                saver.save(global_step, jax.device_get(state.params))
+                from sasvqa_tpu.parallel.mesh import fetch_params_for_save
+                saver.save(global_step,
+                           fetch_params_for_save(state.params, mesh))
             # preemption honored only at accumulation boundaries so a
             # resumed run's micro counter stays aligned with the
             # MultiSteps update cycle

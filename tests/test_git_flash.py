@@ -44,6 +44,43 @@ def test_matches_dense_mask(num_img, l):
                                atol=3e-5, rtol=1e-4)
 
 
+def test_mask_free_prefix_paths():
+    """num_img spanning multiple key blocks exercises the static split
+    paths (fwd/dQ unmasked-prefix loops AND the two-call dK/dV split):
+    with num_img=640 and 128-blocks, n_free = 5 of the key blocks run
+    the mask-free bodies.  Every production config hits these paths
+    (num_img=1576, bk=896 -> n_free=1) but the default test shapes
+    (num_img < 512) never did."""
+    b, h, num_img, l, d = 1, 2, 640, 64, 64
+    s = num_img + l
+    rng = np.random.default_rng(7)
+    qf, kf, vf = (jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+                  for _ in range(3))
+    mask = np.ones((b, l), np.int32)
+    mask[0, -9:] = 0
+    mask = jnp.asarray(mask)
+    bias = git_attention_bias(num_img, mask)
+
+    out = gf.git_flash_attention(qf, kf, vf, mask, num_img,
+                                 block_q=128, block_k=128)
+    ref = _xla_ref(qf, kf, vf, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+    def loss_flash(q, k, v):
+        o = gf.git_flash_attention(q, k, v, mask, num_img, 128, 128)
+        return (o.astype(jnp.float32) ** 2).mean()
+
+    def loss_ref(q, k, v):
+        return (_xla_ref(q, k, v, bias).astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss_flash, argnums=(0, 1, 2))(qf, kf, vf)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qf, kf, vf)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=1e-4)
+
+
 def test_non_dividing_block_pair_covers_all_rows():
     """Regression: explicit (bq, bk) whose lcm exceeds max(bq, bk) — a
     max()-based pad used to leave the tail query rows unwritten; padding
