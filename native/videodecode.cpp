@@ -67,6 +67,11 @@ extern "C" {
 void* vd_open(const char* path) {
   auto* d = new Decoder();
   if (open_stream(d, path) != 0) {
+    // open_stream can fail partway (e.g. avcodec_open2 on a corrupt
+    // file) with fmt/codec contexts already allocated — free them like
+    // vd_close would, or every bad video in a dataset leaks both
+    if (d->codec) avcodec_free_context(&d->codec);
+    if (d->fmt) avformat_close_input(&d->fmt);
     delete d;
     return nullptr;
   }
@@ -171,28 +176,40 @@ int vd_read_window(void* handle, double start_sec, double end_sec,
   int strides[1] = {out_w * 3};
   bool past_end = false;
 
+  auto consume = [&](AVFrame* f) {
+    double t = f->best_effort_timestamp * tb;
+    if (t > end_sec) {
+      past_end = true;
+      return;
+    }
+    if (t >= start_sec) {
+      if (seen % interval == 0 && written < max_frames) {
+        planes[0] = out + static_cast<int64_t>(written) * frame_bytes;
+        sws_scale(d->sws, f->data, f->linesize, 0, d->codec->height,
+                  planes, strides);
+        ++written;
+      }
+      ++seen;
+    }
+  };
+
   while (!past_end && written < max_frames &&
          av_read_frame(d->fmt, pkt) >= 0) {
     if (pkt->stream_index == d->stream_index &&
         avcodec_send_packet(d->codec, pkt) == 0) {
-      while (avcodec_receive_frame(d->codec, frame) == 0) {
-        double t = frame->best_effort_timestamp * tb;
-        if (t > end_sec) {
-          past_end = true;
-          break;
-        }
-        if (t >= start_sec) {
-          if (seen % interval == 0 && written < max_frames) {
-            planes[0] = out + static_cast<int64_t>(written) * frame_bytes;
-            sws_scale(d->sws, frame->data, frame->linesize, 0,
-                      d->codec->height, planes, strides);
-            ++written;
-          }
-          ++seen;
-        }
-      }
+      while (!past_end && avcodec_receive_frame(d->codec, frame) == 0)
+        consume(frame);
     }
     av_packet_unref(pkt);
+  }
+  // drain the codec at EOF like vd_read_frames: B-frame reorder delay
+  // keeps the last few decoded frames buffered, and windows reaching
+  // the end of the stream would silently lose them otherwise
+  if (!past_end) {
+    avcodec_send_packet(d->codec, nullptr);
+    while (!past_end && written < max_frames &&
+           avcodec_receive_frame(d->codec, frame) == 0)
+      consume(frame);
   }
   av_frame_free(&frame);
   av_packet_free(&pkt);

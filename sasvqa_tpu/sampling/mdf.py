@@ -68,12 +68,19 @@ def local_average_similarity(feats: jax.Array, window: int,
 
 
 def suppression_topk(lcl_avg: jax.Array, k: int, window: int,
+                     valid: Optional[jax.Array] = None,
                      ) -> Tuple[jax.Array, jax.Array]:
     """Iterative masked-argmax with suppression window [idx-W, idx+W).
 
     Provably equivalent to the reference's heap interval search: the
     intervals partition the unsuppressed index set and each contributes
     its max, so popping the best interval == global masked argmax.
+
+    ``valid``: optional (N,) bool — rows that exist at all (bucket pad
+    rows are False).  The exhaustion check must run over VALID rows
+    only: pad rows are never suppressed, so counting them would keep the
+    mask non-empty forever and the fallback would never fire for short
+    videos.
 
     Returns (indices (k,) importance-ordered, exhausted flag).  When the
     mask empties before k picks the reference discards partial results
@@ -94,7 +101,8 @@ def suppression_topk(lcl_avg: jax.Array, k: int, window: int,
         mask = mask & ~suppress
         return mask, picks, exhausted
 
-    init = (jnp.ones((n,), bool), jnp.zeros((k,), jnp.int32), jnp.array(False))
+    mask0 = jnp.ones((n,), bool) if valid is None else valid
+    init = (mask0, jnp.zeros((k,), jnp.int32), jnp.array(False))
     _, picks, exhausted = jax.lax.fori_loop(0, k, body, init)
 
     fallback = jax.lax.top_k(lcl_avg, k)[1].astype(jnp.int32)
@@ -112,7 +120,9 @@ def mdf_select(feats: jax.Array, k: int, window: int = -1,
     """
     n = feats.shape[0]
     if window == -1:
-        window = max(n // interval, 1)
+        window = n // interval
+    window = max(window, 1)  # oracle clamps too; W=0 would flip the
+    # lcl denominator sign and make the suppression interval empty
     feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
     lcl = local_average_similarity(feats, window)
     return suppression_topk(lcl, k, window)
@@ -132,9 +142,13 @@ def mdf_select_padded(feats: jax.Array, n_valid, k: int, window: int,
     compile serves a whole (bucket, W) class of videos.
 
     Pad rows are masked to -inf so neither the suppression loop nor the
-    top-K fallback can pick them; results equal :func:`mdf_select` on
-    the unpadded array (tests/test_mdf.py::test_padded_matches_unpadded).
+    top-K fallback can pick them, and they are EXCLUDED from the
+    exhaustion check (they are never suppressed, so counting them would
+    keep the fallback from ever firing on short videos); results equal
+    :func:`mdf_select` on the unpadded array
+    (tests/test_mdf.py::test_padded_matches_unpadded).
     """
+    window = max(window, 1)
     b = feats.shape[0]
     norms = jnp.linalg.norm(feats, axis=-1, keepdims=True)
     f = feats / jnp.maximum(norms, 1e-12)
@@ -143,7 +157,8 @@ def mdf_select_padded(feats: jax.Array, n_valid, k: int, window: int,
     f = jnp.where(in_range, f, 0.0)
     lcl = local_average_similarity(f, window, n_valid=n_valid)
     lcl = jnp.where(idx < n_valid, lcl, NEG)
-    picks, exhausted = suppression_topk(lcl, k, window)
+    picks, exhausted = suppression_topk(lcl, k, window,
+                                        valid=idx < n_valid)
     return jnp.minimum(picks, n_valid - 1), exhausted
 
 

@@ -66,12 +66,18 @@ def preprocess_frames(frames_u8: np.ndarray, img_size: int) -> np.ndarray:
 def git6_indices(num_frames: int, clip_len: int, frame_sample_rate: int,
                  rng: np.random.Generator) -> np.ndarray:
     """GIT-VideoQA style sampling (extract_features.py:32-39): random
-    end index, linspace of clip_len frames."""
+    end index, linspace of clip_len frames.
+
+    Videos shorter than clip_len*rate: the reference's np.random.randint
+    raises outright; here indices clamp to the real frame range
+    (deliberate fix — short videos sample with repeats instead of
+    aborting the whole extraction run)."""
     converted_len = int(clip_len * frame_sample_rate)
     end_idx = int(rng.integers(converted_len, max(num_frames, converted_len + 1)))
     start_idx = end_idx - converted_len
     idx = np.linspace(start_idx, end_idx, num=clip_len)
-    return np.clip(idx, start_idx, end_idx - 1).astype(np.int64)
+    idx = np.clip(idx, start_idx, end_idx - 1).astype(np.int64)
+    return np.clip(idx, 0, num_frames - 1)
 
 
 def bucket_for(n: int) -> int:

@@ -147,14 +147,20 @@ def run_gen_inds(args) -> None:
             return str(vid2row[vid_id])
         return vid_id
 
-    score = jax.jit(lambda ids, mask: model.apply(params, ids, mask))
+    # params go through the jit boundary as an ARGUMENT: closure capture
+    # would bake the ~110M-param BERT tree into the HLO as constants and
+    # blow the remote-compile request limit on tunneled runtimes (same
+    # hazard documented at extract_frames.MDFEncoder)
+    _scorer = jax.jit(lambda p, ids, mask: model.apply(p, ids, mask))
+    score = lambda ids, mask: _scorer(params, ids, mask)
     for split in ("train", "val", "test"):
         read_file = os.path.join(args.anno_dir, f"qa_{split}.json")
         if not os.path.exists(read_file):
             continue
         new_ds = generate_inds_for_split(
             score, tok, load_json(read_file), all_captions, caption_key,
-            k=args.K, ds_rate=args.ds_rate, max_length=args.max_length)
+            k=args.K, ds_rate=args.ds_rate,
+            max_length=args.score_max_length)
         out_file = os.path.join(args.anno_dir, f"qa_winds_{split}.json")
         save_json(new_ds, out_file)
         LOGGER.info(f"wrote {out_file} ({len(new_ds)} samples)")
@@ -177,7 +183,13 @@ def build_argparser():
     p.add_argument("--tokenizer_dir", default=None)
     p.add_argument("--K", type=int, default=32)
     p.add_argument("--ds_rate", type=int, default=1)
-    p.add_argument("--max_length", type=int, default=30)
+    p.add_argument("--max_length", type=int, default=30,
+                   help="gen_cap caption budget (reference generate "
+                        "max_length=30, gen_sample.py:23)")
+    p.add_argument("--score_max_length", type=int, default=64,
+                   help="gen_inds question+caption tokenization budget "
+                        "(the stage-2 scorer's own length, NOT the "
+                        "caption budget — 30 would truncate most pairs)")
     p.add_argument("--batch_rows", type=int, default=4,
                    help="videos captioned per decode call (frames batch "
                         "as batch_rows*K)")

@@ -77,11 +77,15 @@ def decay_mask(params) -> Any:
 
 
 def lr_mul_mask(params, prefix: str) -> Any:
-    """True for params whose top-level path starts with ``prefix``
-    (reference lr_mul prefix groups, optimization/utils.py:96-153)."""
+    """True for params whose full dotted name CONTAINS ``prefix`` —
+    the reference's exact rule is substring containment over the torch
+    parameter name (``lr_mul_prefix in n``, optimization/utils.py:63-66),
+    so nested modules matching anywhere in the path scale too."""
     def match(path, leaf):
         names = [str(getattr(k, "key", k)) for k in path]
-        return any(n.startswith(prefix) for n in names)
+        # flax trees root at 'params'; the reference's names don't
+        dotted = ".".join(n for n in names if n != "params")
+        return prefix in dotted
 
     return jax.tree_util.tree_map_with_path(match, params)
 
@@ -118,8 +122,9 @@ def make_optimizer(cfg, total_steps: int,
     tx = _OPTIMIZERS[opt_name](learning_rate=sched, **kwargs)
 
     chain = []
-    if cfg.get("grad_norm", -1) and cfg.grad_norm > 0:
-        chain.append(optax.clip_by_global_norm(cfg.grad_norm))
+    grad_norm = cfg.get("grad_norm", -1)
+    if grad_norm and grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(grad_norm))
     chain.append(tx)
     lr_mul = cfg.get("transformer_lr_mul", 1.0)
     prefix = cfg.get("transformer_lr_mul_prefix", "")

@@ -88,3 +88,28 @@ def test_importance_order_and_min_distance():
             for j in range(i + 1, k):
                 d = inds[j] - inds[i]
                 assert not (-w <= d < w), (inds[i], inds[j])
+
+
+def test_padded_matches_unpadded():
+    """mdf_select_padded on a bucket-padded array must reproduce
+    mdf_select on the unpadded array — including the short-video case
+    where the suppression search exhausts and the top-k fallback fires
+    (regression: pad rows used to keep the exhaustion check from ever
+    firing, yielding duplicate index-0 picks)."""
+    from sasvqa_tpu.sampling.mdf import mdf_select_padded
+
+    rng = np.random.default_rng(13)
+    k = 6
+    for n, w, bucket in [(20, 4, 64),   # exhausts -> fallback
+                         (100, 5, 128),  # normal path
+                         (64, 8, 64)]:   # no padding at all
+        feats = rng.normal(size=(n, 8)).astype(np.float32)
+        ref_inds, ref_ex = mdf_select(jnp.asarray(feats), k, window=w)
+        padded = np.zeros((bucket, 8), np.float32)
+        padded[:n] = feats
+        got, got_ex = mdf_select_padded(jnp.asarray(padded), n, k, w)
+        assert bool(got_ex) == bool(ref_ex), (n, w, bucket)
+        assert np.asarray(got).tolist() == np.asarray(ref_inds).tolist()
+        # and both match the host oracle
+        oracle = mdf_reference_numpy(feats, k, window=w)
+        assert np.asarray(got).tolist() == oracle.tolist()
