@@ -257,6 +257,41 @@ def test_tp_fsdp_3d_git_step():
     assert np.isfinite(float(loss))
 
 
+def test_restore_into_tp_sharded_state(tmp_path):
+    """Preemption restore with TP/FSDP-sharded params: Orbax restores
+    onto the template's NamedShardings, so a resumed run keeps the same
+    layout (and values) it saved with."""
+    from jax.sharding import PartitionSpec
+    from sasvqa_tpu.core.checkpoint import TrainingRestorer
+    from sasvqa_tpu.parallel.tp import tp_param_sharding
+
+    ts, state, _ = _tiny_state(optim="sgd")
+    tmesh = make_mesh(devices=jax.devices("cpu"), shape=(4, 2),
+                      axes=("data", "model"))
+    p_shard = tp_param_sharding(state.params, tmesh)
+    state = state.replace(
+        params=jax.device_put(state.params, p_shard),
+        opt_state=jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, NamedSharding(tmesh, PartitionSpec())),
+            state.opt_state),
+        step=state.step + 5)
+
+    out = str(tmp_path / "tp_resume")
+    r1 = TrainingRestorer(out, save_steps=1)
+    r1.maybe_save(5, state)
+    r1.wait()
+
+    ts2, state2, _ = _tiny_state(optim="sgd")
+    state2 = state2.replace(params=jax.device_put(state2.params, p_shard))
+    state2 = TrainingRestorer(out, save_steps=1).restore_into(state2)
+    assert int(state2.step) == 5
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        assert b.sharding == a.sharding           # layout preserved
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_step_on_mesh(mesh):
     """Tiny classifier train step sharded over the mesh runs and the
     params stay replicated."""
