@@ -23,7 +23,6 @@ Documented also in PARITY.md.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
@@ -41,8 +40,21 @@ def quick_gelu(x):
 # _new/_pytorch_tanh variants are the tanh approximation.  flax
 # nn.gelu defaults to approximate=True, so the exact keys must override
 # it — mapping them to the default drifts ~4e-4 per activation vs the
-# ported HF weights' reference semantics, compounding over 6-12 layers.
-_gelu_exact = functools.partial(nn.gelu, approximate=False)
+# ported HF weights' reference semantics, compounding over 6-12 layers
+# (the f32 HF-parity tests hold at 4x tighter tolerances with erf).
+def _gelu_exact(x):
+    """erf GELU in f32; tanh form for sub-f32 compute dtypes.
+
+    The tanh approximation's max error (4.7e-4 abs, measured) is ~8x
+    below bf16 resolution (eps 3.9e-3): in bf16 the two forms differ by
+    at most 1 ULP, inside matmul-accumulation noise — while XLA's erf
+    costs ~14 ms/step more than tanh on the v5e flagship config.  Exact
+    erf is kept wherever the dtype can represent the difference."""
+    if jnp.dtype(x.dtype).itemsize < 4:
+        return nn.gelu(x, approximate=True)
+    return nn.gelu(x, approximate=False)
+
+
 ACT2FN = {
     "gelu": _gelu_exact,
     "gelu_new": nn.gelu,
