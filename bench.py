@@ -64,6 +64,19 @@ def main():
     args = (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(pixels),
             jnp.asarray(labels))
 
+    # multi-chip hosts: shard the batch over a data mesh so the per-chip
+    # division below is honest (an unsharded jit runs on ONE device and
+    # dividing by n_chips would understate per-chip throughput n_chips-x)
+    n_chips = len(jax.devices())
+    if n_chips > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        args = tuple(jax.device_put(a, NamedSharding(mesh,
+                     PartitionSpec("data"))) for a in args)
+        rep = NamedSharding(mesh, PartitionSpec())
+        params = jax.device_put(params, rep)
+        opt_state = jax.device_put(opt_state, rep)
+
     # warmup / compile.  NOTE: under the experimental axon runtime,
     # jax.block_until_ready has been observed both to return early and to
     # wedge for minutes; a host float() fetch is the reliable sync here.
@@ -83,7 +96,6 @@ def main():
     float(loss)
     dt = time.perf_counter() - t0
 
-    n_chips = len(jax.devices())
     qa_per_sec_chip = BATCH * n_steps / dt / n_chips
     print(json.dumps({
         "metric": "qa_pairs_per_sec_per_chip_git_base_8frame_train",

@@ -47,6 +47,10 @@ def predict(args) -> str:
         "model": {"pretrained_model": args.model, "vocab_size": None},
         "img_size": args.img_size, "num_labels": args.num_labels,
         "tokenizer_dir": args.tokenizer_dir,
+        # must match the TRAINING run's head ("mlp" is the training
+        # argparse default, core/config.py:212) or Orbax snapshot
+        # restore fails on the missing/extra cls_fc layer
+        "classifier": args.classifier,
     })
     family, model = build_model(cfg, dtype=jnp.bfloat16)
     tokenizer = build_tokenizer(cfg, family)
@@ -124,6 +128,10 @@ def build_argparser():
     p.add_argument("--nframe", type=int, default=6)
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--num_labels", type=int, default=1000)
+    p.add_argument("--classifier", default="mlp",
+                   choices=["mlp", "linear"],
+                   help="classifier head shape — must match the "
+                        "training run (training default: mlp)")
     p.add_argument("--max_length", type=int, default=50)
     return p
 

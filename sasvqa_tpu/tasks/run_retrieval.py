@@ -58,16 +58,22 @@ def encode_corpus(txt_tower, vis_tower, txt_params, vis_params, tokenizer,
     """
     enc = tokenizer(captions, max_length=cfg.get("max_txt_len", 20))
 
+    # params cross the jit boundary as ARGUMENTS: closure capture bakes
+    # both CLIP towers (~150M params) into the HLO as constants — the
+    # remote-compile-size hazard documented at extract_frames.MDFEncoder
     @jax.jit
-    def encode(ids, mask, frames):
-        _, txt = txt_tower.apply(txt_params, ids, mask)
+    def _encode(tp, vp, ids, mask, frames):
+        _, txt = txt_tower.apply(tp, ids, mask)
         b, t = frames.shape[:2]
         flat = frames.reshape((b * t,) + frames.shape[2:])
-        _, _, image_embeds = vis_tower.apply(vis_params, flat)
+        _, _, image_embeds = vis_tower.apply(vp, flat)
         vis = image_embeds.reshape(b, t, -1)
         vid = aggregate_clip_scores(vis, cfg.get("score_agg_func", "mean"),
                                     axis=1)
         return txt, vid
+
+    encode = lambda ids, mask, frames: _encode(txt_params, vis_params,
+                                               ids, mask, frames)
 
     n = len(captions)
     bs = min(batch_size, n)

@@ -159,7 +159,14 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
     from sasvqa_tpu.data.pipeline import batch_indices, collate_indices
     for b_idx, idx in enumerate(batch_indices(
             len(dataset), eval_bs, False, None)):
-        batch = collate_indices(dataset, collator, idx, eval_rng)
+        if ensemble > 1:
+            # one HDF5 read per video for ALL clips — and one
+            # get_group outcome: its random-substitution-on-error
+            # would otherwise pick DIFFERENT videos per clip
+            items = [dataset.get_group(int(i)) for i in idx]
+            batch = collator(items, rng=eval_rng)
+        else:
+            batch = collate_indices(dataset, collator, idx, eval_rng)
         question_ids = batch.pop("question_ids")
         n_real = len(question_ids)
         batch = prep(batch)
@@ -174,11 +181,8 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
         elif ensemble > 1:
             from sasvqa_tpu.train.retrieval import aggregate_clip_scores
             all_logits = [np.asarray(logits_step(state, batch))[:n_real]]
-            # fetch the groups ONCE: frame re-sampling happens in the
-            # collator, so extra clips only need to re-run it — going
-            # through collate_indices again would re-read every video's
-            # full frame set from HDF5 per clip
-            items = [dataset.get_group(int(i)) for i in idx]
+            # extra clips re-run only the collator on the items read
+            # above (frame re-sampling lives in the collator)
             for _ in range(ensemble - 1):
                 b2 = collator(items, rng=eval_rng)
                 b2.pop("question_ids")
@@ -434,16 +438,19 @@ def start_training(cfg) -> Dict[str, Any]:
     n_hosts = jax.process_count()
     per_host_batch = max(cfg.train_batch_size * n_dev // n_hosts, 1)
     n_workers = int(cfg.get("n_workers", 0) or 0)
-    pool = None
-    if n_workers > 0:
-        from sasvqa_tpu.data.pipeline import CollatorPool
-        pool = CollatorPool(train_ds, collator, n_workers)
-    prefetch = DevicePrefetcher(
-        infinite_batches(train_ds, collator, per_host_batch, host_rng,
-                         pool=pool),
-        mesh=mesh)
+    pool = prefetch = None
+    if cfg.num_train_steps > 0:
+        # inference-only runs skip the pipeline entirely: the prefetch
+        # thread starts staging batches to the device on construction
+        if n_workers > 0:
+            from sasvqa_tpu.data.pipeline import CollatorPool
+            pool = CollatorPool(train_ds, collator, n_workers)
+        prefetch = DevicePrefetcher(
+            infinite_batches(train_ds, collator, per_host_batch, host_rng,
+                             pool=pool),
+            mesh=mesh)
     t_start = time.time()
-    for batch, host_meta in (prefetch if cfg.num_train_steps > 0 else ()):
+    for batch, host_meta in (prefetch if prefetch is not None else ()):
         state, metrics = train_step(state, batch, dropout_key)
         micro += 1
         if micro % cfg.gradient_accumulation_steps == 0:
@@ -464,8 +471,13 @@ def start_training(cfg) -> Dict[str, Any]:
             restorer.maybe_save(start_micro + micro, state)
             if global_step % cfg.valid_steps == 0:
                 total_correct = total_preds = 0
-                res_v, _ = run_validation()
-                last_scores = res_v["scores"]
+                # the final step skips the in-loop eval: the final_
+                # validation right after the loop evaluates the exact
+                # same params — running both doubled the exit cost
+                # (4 full-split eval passes instead of 2)
+                if global_step < cfg.num_train_steps:
+                    res_v, _ = run_validation()
+                    last_scores = res_v["scores"]
                 from sasvqa_tpu.parallel.mesh import fetch_params_for_save
                 saver.save(global_step,
                            fetch_params_for_save(state.params, mesh))
@@ -478,6 +490,8 @@ def start_training(cfg) -> Dict[str, Any]:
                     pool.close()
                 restorer.force_save(start_micro + micro, state)
                 restorer.wait()
+                saver.wait()  # an eval snapshot dispatched this same
+                # boundary is async — exiting now would discard it
                 LOGGER.info("preemption checkpoint saved; exiting")
                 return {"val": last_scores, "test": {},
                         "train_loss": running_loss.val,
@@ -488,7 +502,8 @@ def start_training(cfg) -> Dict[str, Any]:
             break
 
     flush_metrics()
-    prefetch.close()  # release staged device batches before final eval
+    if prefetch is not None:
+        prefetch.close()  # release staged device batches before final eval
     if pool is not None:
         pool.close()
     res_v, res_t = run_validation("final_")

@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
-# MSVD-QA config 1 (GIT-base, 6-frame stored, uniform): equivalent of the
-# reference src/scripts/run.sh but TPU-native (no CUDA_VISIBLE_DEVICES;
+# MSVD-QA config 2 (msvd_qa_base2: GIT-base img_len 8, uniform/1, bs 4x128): equivalent of the
+# reference counterpart but TPU-native (no CUDA_VISIBLE_DEVICES;
 # the mesh uses every visible TPU chip).
 set -euo pipefail
 MODE=${1:-train}

@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
-# MSVD-QA config 1 (GIT-base, 6-frame stored, uniform): equivalent of the
-# reference src/scripts/run.sh but TPU-native (no CUDA_VISIBLE_DEVICES;
+# MSVD-QA config 3 (msvd_qa_base3: CLIP ViT-B/16 classifier, single/4, bs 8x4): equivalent of the
+# reference counterpart but TPU-native (no CUDA_VISIBLE_DEVICES;
 # the mesh uses every visible TPU chip).
 set -euo pipefail
 MODE=${1:-train}

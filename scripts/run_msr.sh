@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
-# MSVD-QA config 1 (GIT-base, 6-frame stored, uniform): equivalent of the
-# reference src/scripts/run.sh but TPU-native (no CUDA_VISIBLE_DEVICES;
+# MSRVTT-QA config 1 (msrvtt_qa_base: GIT-base img_len 1, single/1, bs 8x64): equivalent of the
+# reference counterpart but TPU-native (no CUDA_VISIBLE_DEVICES;
 # the mesh uses every visible TPU chip).
 set -euo pipefail
 MODE=${1:-train}
