@@ -105,6 +105,10 @@ def build_shared_parser(desc: str = "sasvqa_tpu shared config") -> argparse.Argu
                    help="debug mode: break train loop after 3 steps, val after 5")
     p.add_argument("--data_ratio", type=float, default=1.0,
                    help="portion of train/val examples to use")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler device trace of this "
+                        "many train steps (starting at step 2, after "
+                        "compile) into output_dir/trace; 0 = off")
     # required-ish
     p.add_argument("--output_dir", type=str, default=None,
                    help="dir for checkpoints & training meta")

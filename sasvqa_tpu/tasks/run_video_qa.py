@@ -449,6 +449,23 @@ def start_training(cfg) -> Dict[str, Any]:
             infinite_batches(train_ds, collator, per_host_batch, host_rng,
                              pool=pool),
             mesh=mesh)
+    # --profile_steps: device-trace a window of steps after compile
+    prof_n = int(cfg.get("profile_steps", 0) or 0)
+    prof = {"on": False, "stop_at": 0}
+
+    def prof_tick(global_step, metrics):
+        if prof_n <= 0:
+            return
+        if not prof["on"] and global_step == 2:
+            jax.profiler.start_trace(os.path.join(output_dir, "trace"))
+            prof.update(on=True, stop_at=global_step + prof_n)
+            LOGGER.info(f"profiling steps [2, {prof['stop_at']}) -> "
+                        f"{output_dir}/trace")
+        elif prof["on"] and global_step >= prof["stop_at"]:
+            float(metrics["loss"])   # drain async dispatch first
+            jax.profiler.stop_trace()
+            prof["on"] = False
+
     t_start = time.time()
     for batch, host_meta in (prefetch if prefetch is not None else ()):
         state, metrics = train_step(state, batch, dropout_key)
@@ -468,6 +485,7 @@ def start_training(cfg) -> Dict[str, Any]:
                 LOGGER.info(f"step {global_step}/{cfg.num_train_steps} "
                             f"{running_loss} acc {100*acc:.2f} "
                             f"({(time.time()-t_start):.0f}s)")
+            prof_tick(global_step, metrics)
             restorer.maybe_save(start_micro + micro, state)
             if global_step % cfg.valid_steps == 0:
                 total_correct = total_preds = 0
@@ -485,6 +503,9 @@ def start_training(cfg) -> Dict[str, Any]:
             # resumed run's micro counter stays aligned with the
             # MultiSteps update cycle
             if preempted["flag"]:
+                if prof["on"]:
+                    jax.profiler.stop_trace()
+                    prof["on"] = False
                 prefetch.close()
                 if pool is not None:
                     pool.close()
@@ -502,6 +523,9 @@ def start_training(cfg) -> Dict[str, Any]:
             break
 
     flush_metrics()
+    if prof["on"]:        # loop ended inside the profiling window
+        jax.profiler.stop_trace()
+        prof["on"] = False
     if prefetch is not None:
         prefetch.close()  # release staged device batches before final eval
     if pool is not None:
