@@ -29,6 +29,19 @@ def test_shipped_configs_parse_and_build(path):
     assert cfg.train_batch_size * cfg.gradient_accumulation_steps >= 32
 
 
+def test_shipped_configs_have_distinct_output_dirs():
+    """Regression: the six shipped configs must not share output_dirs —
+    the launch scripts rm -rf them on train, so a shared dir let one
+    config's run destroy another's checkpoints (the reference keeps
+    them distinct: saved_models/msvd_qa_001/2/3 etc.)."""
+    import json
+    dirs = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "configs", "*.json"))):
+        out = json.load(open(path))["output_dir"]
+        assert out not in dirs.values(), (path, out)
+        dirs[path] = out
+
+
 def test_model_saver_roundtrip(tmp_path):
     from sasvqa_tpu.core.checkpoint import ModelSaver
 
