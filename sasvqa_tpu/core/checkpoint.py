@@ -38,6 +38,12 @@ class ModelSaver:
         self._mgr.save(step, args=ocp.args.StandardSave(params))
 
     def restore(self, step: int, template: Optional[Any] = None) -> Any:
+        if step not in self._mgr.all_steps():
+            # fail with the step named — a missing step otherwise
+            # surfaces as an opaque Orbax internals error
+            raise FileNotFoundError(
+                f"no eval snapshot for step {step} under {self.dir} "
+                f"(available: {sorted(self._mgr.all_steps())})")
         if template is not None:
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template))

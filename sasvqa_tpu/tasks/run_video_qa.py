@@ -399,6 +399,7 @@ def start_training(cfg) -> Dict[str, Any]:
     dropout_key = jax.random.fold_in(key, 1)
     start_micro = int(state.step)  # single host fetch before the hot loop
     global_step = start_micro // cfg.gradient_accumulation_steps
+    last_saved_step = -1
     total_correct = total_preds = 0
     last_scores: Dict[str, Any] = {}
     micro = 0
@@ -499,6 +500,7 @@ def start_training(cfg) -> Dict[str, Any]:
                 from sasvqa_tpu.parallel.mesh import fetch_params_for_save
                 saver.save(global_step,
                            fetch_params_for_save(state.params, mesh))
+                last_saved_step = global_step
             # preemption honored only at accumulation boundaries so a
             # resumed run's micro counter stays aligned with the
             # MultiSteps update cycle
@@ -530,6 +532,13 @@ def start_training(cfg) -> Dict[str, Any]:
         prefetch.close()  # release staged device batches before final eval
     if pool is not None:
         pool.close()
+    # guarantee a final eval snapshot: when num_train_steps never hits a
+    # valid_steps boundary the loop saves nothing, leaving --do_inference
+    # with no snapshot to restore (the reference has the same hole —
+    # it only saves inside its valid-steps block, run_video_qa.py:515-522)
+    if global_step > 0 and last_saved_step != global_step:
+        from sasvqa_tpu.parallel.mesh import fetch_params_for_save
+        saver.save(global_step, fetch_params_for_save(state.params, mesh))
     res_v, res_t = run_validation("final_")
     saver.wait()
     restorer.wait()

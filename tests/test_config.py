@@ -69,6 +69,12 @@ def test_bool_coercion(tmp_path):
                              "--fp16", "1"])
     assert cfg.debug is True
     assert cfg.fp16 is True
+    # the falsy case is the one type=bool would get wrong
+    # (bool("0") is True) — it must coerce to False
+    cfg = get_video_qa_args(["--task", "msvd_qa", "--debug", "0",
+                             "--fp16", "0"])
+    assert cfg.debug is False
+    assert cfg.fp16 is False
 
 
 def test_configdict_mutation_and_to_dict():

@@ -70,10 +70,9 @@ def test_clip_end_to_end(synth, tmp_path):
     assert result["global_step"] >= 1
     assert "overall_acc" in result["val"]
     assert "what_acc" in result["val"]  # per-answer-type metrics
-    # eval snapshot written
-    ckpts = os.listdir(tmp_path / "out" / "ckpt") \
-        if (tmp_path / "out" / "ckpt").exists() else []
-    assert result["val"]["overall_acc"] >= 0
+    # eval snapshot actually written at the valid-step boundary
+    assert (tmp_path / "out" / "ckpt").exists()
+    assert len(os.listdir(tmp_path / "out" / "ckpt")) > 0
 
 
 def test_git_end_to_end(synth, tmp_path):
@@ -197,8 +196,10 @@ def test_inference_from_saved_snapshot(synth, tmp_path):
                  "--do_inference", "1"])
     assert inf2["val"] == trained["val"]
 
-    # a missing step must fail loudly, not silently eval fresh params
-    with pytest.raises(Exception):
+    # a missing step must fail loudly, not silently eval fresh params;
+    # match the step number so an unrelated early crash can't satisfy
+    # the assertion
+    with pytest.raises(Exception, match="99"):
         main(["--task", "msvd_qa", "--config", cfg_path,
               "--do_inference", "1", "--inference_model_step", "99"])
 
@@ -230,7 +231,12 @@ def test_auto_resume_from_restore_checkpoint(synth, tmp_path):
                           num_train_epochs=1, gradient_accumulation_steps=1,
                           grad_norm=-1))
     state = ts.create_train_state(model, params, cfg, total_steps=10)
-    state = state.replace(step=state.step + 7)
+    # perturb the saved params so they DIFFER from a fresh init — the
+    # equality assert below must be able to fail if restore_into stops
+    # loading the params payload (init is deterministic-seeded)
+    state = state.replace(
+        step=state.step + 7,
+        params=jax.tree_util.tree_map(lambda x: x + 0.25, state.params))
 
     out = str(tmp_path / "resume_out")
     r1 = TrainingRestorer(out, save_steps=1)

@@ -24,7 +24,9 @@ def _rand(shape, seed, dtype=np.float32):
 @pytest.mark.parametrize("lq,lk", [(128, 128), (256, 384)])
 def test_matches_reference_no_bias(lq, lk):
     b, h, d = 2, 2, 64
-    q, k, v = (_rand((b, h, lq, d), i) for i in range(3))
+    q = _rand((b, h, lq, d), 0)
+    k = _rand((b, h, lk, d), 1)   # lk != lq exercises the rectangular
+    v = _rand((b, h, lk, d), 2)   # no-bias grid (nq != nk)
     out = fa.flash_attention(q, k, v)
     ref = fa._xla_reference(q, k, v, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),

@@ -220,9 +220,21 @@ def test_git_greedy_generate_matches_hf(text_batch, pixels):
                            jnp.asarray(prompt_len), jnp.asarray(frames),
                            max_text_len=max_text_len)
     ours = np.asarray(ours)
+    def upto(seq, stops):
+        """Prefix before the first stop token — truncation, not
+        filtering: filtering pad/eos out of BOTH sides would hide a
+        divergence that merely shifts tokens across a pad (e.g. ours
+        [5,0,7] vs HF [5,7] both filter to [5,7])."""
+        out = []
+        for t in seq:
+            if t in stops:
+                break
+            out.append(t)
+        return out
+
     for b in range(ids.shape[0]):
-        ref_toks = [t for t in refs[b] if t not in (0, VOCAB - 1)]
-        our_toks = [t for t in ours[b].tolist() if t != 0]
+        ref_toks = upto(refs[b], (0, VOCAB - 1))
+        our_toks = upto(ours[b].tolist(), (0, VOCAB - 1))
         assert our_toks == ref_toks, (b, our_toks, ref_toks)
 
 
@@ -251,7 +263,7 @@ def test_git_generate_with_padded_rows(text_batch, pixels):
     padded = np.asarray(greedy_generate(
         fx, params, jnp.asarray(ids_p), jnp.asarray(pl_p),
         jnp.asarray(frames_p), max_text_len=16))
-    assert np.isfinite(padded).all() if padded.dtype.kind == "f" else True
+    # padded rows must not disturb the real rows' decode
     np.testing.assert_array_equal(padded[:ids.shape[0]], base)
 
 

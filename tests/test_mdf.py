@@ -74,6 +74,9 @@ def test_importance_order_and_min_distance():
     feats = rng.normal(size=(n, 8)).astype(np.float32)
     inds, exhausted = mdf_select(jnp.asarray(feats), k, window=w)
     inds = np.asarray(inds)
+    # n=120, k=6, w=6 leaves plenty of room: exhaustion here would be a
+    # regression (and would skip every property assert below)
+    assert not bool(exhausted)
     if not bool(exhausted):
         lcl = np.asarray(local_average_similarity(
             jnp.asarray(feats / np.linalg.norm(feats, axis=-1,

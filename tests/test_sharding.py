@@ -269,8 +269,13 @@ def test_restore_into_tp_sharded_state(tmp_path):
     tmesh = make_mesh(devices=jax.devices("cpu"), shape=(4, 2),
                       axes=("data", "model"))
     p_shard = tp_param_sharding(state.params, tmesh)
+    # perturb saved params so they differ from a fresh (same-seed) init:
+    # the value assert below must be able to catch a restore that
+    # silently keeps the input tree
     state = state.replace(
-        params=jax.device_put(state.params, p_shard),
+        params=jax.device_put(
+            jax.tree_util.tree_map(lambda x: x + 0.25, state.params),
+            p_shard),
         opt_state=jax.tree_util.tree_map(
             lambda x: jax.device_put(
                 x, NamedSharding(tmesh, PartitionSpec())),

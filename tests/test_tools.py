@@ -88,6 +88,15 @@ def test_git6_indices():
 def test_mif_pipeline(dataset_root):
     """gen_cap then gen_inds with tiny models over the extracted store."""
     from sasvqa_tpu.tools.gen_sample import main
+    # stage A store: build our own rather than depending on
+    # test_extract_uniform having run first (ordering-independent)
+    if not os.path.exists(os.path.join(dataset_root, "msvd_qa",
+                                       "proc_uni")):
+        from sasvqa_tpu.tools.extract_frames import main as extract_main
+        extract_main(["--dataset", "msvd_qa", "--dataset_root",
+                      dataset_root, "--sampling_strategy", "uni",
+                      "--K", "4", "--img_size", "32",
+                      "--h5_fname", "proc_uni"])
     # stage 1: captions (tiny git, test vocab)
     main(["--task", "gen_cap", "--dataset", "msvd_qa",
           "--dataset_root", dataset_root, "--h5_path", "proc_uni",
