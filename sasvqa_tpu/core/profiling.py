@@ -47,10 +47,20 @@ class Timer:
 
 
 def synced(x: Any) -> Any:
-    """Force device completion by fetching one scalar leaf to host."""
-    leaves = jax.tree_util.tree_leaves(x)
-    if leaves:
-        np.asarray(jax.device_get(leaves[0])).ravel()[:1]
+    """Force device completion by fetching ONE SCALAR per leaf's
+    computation to host.
+
+    The slice happens ON DEVICE before the fetch — device_get of a full
+    leaf would drag the whole array (150 MB for flagship logits) over
+    the tunnel, corrupting the very timings this helper exists to keep
+    honest.  Every leaf is touched because independent dispatches
+    complete independently: syncing only the first leaf would let
+    others still be in flight.  Meant for small step-output trees —
+    each leaf costs a host round-trip (~34 ms tunneled), so don't pass
+    a full params tree."""
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            np.asarray(leaf.ravel()[:1])
     return x
 
 

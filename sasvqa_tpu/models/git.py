@@ -192,7 +192,8 @@ class GITForCausalLM(nn.Module):
     def _use_git_flash(self, seq_len: int) -> bool:
         if self.flash is not None:
             return self.flash
-        return seq_len >= 512 and jax.default_backend() == "tpu"
+        from sasvqa_tpu.ops.attention import flash_backend_ok
+        return seq_len >= 512 and flash_backend_ok()
 
     def setup(self):
         c = self.config

@@ -10,7 +10,6 @@ reference config 5 in /root/repo/BASELINE.json).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -21,12 +20,27 @@ NEG_INF = -1e9  # additive-mask value, safe in bf16 (finfo.min overflows sums)
 _FLASH_MIN_SEQ = 512  # below this XLA's fused attention wins
 
 
+def flash_backend_ok() -> bool:
+    """True when compiled Pallas TPU kernels can run.
+
+    jax.default_backend() alone is WRONG here: on runtimes whose TPU
+    plugin ignores JAX_PLATFORMS (the axon tunnel), computation is
+    CPU-forced via jax.config.jax_default_device while the default
+    *backend* still reports 'tpu' — compiled Pallas then fails with
+    'Only interpret mode is supported on CPU backend'.  Honor the
+    default-device override first."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def _use_flash(q_len: int, kv_len: int, explicit: Optional[bool]) -> bool:
     if explicit is not None:
         return explicit
     if q_len < _FLASH_MIN_SEQ or kv_len < _FLASH_MIN_SEQ:
         return False
-    return jax.default_backend() == "tpu"
+    return flash_backend_ok()
 
 
 def dot_product_attention(
@@ -42,6 +56,13 @@ def dot_product_attention(
     """
     if _use_flash(q.shape[-2], k.shape[-2], use_flash):
         from sasvqa_tpu.ops.flash_attention import flash_attention
+        if bias is not None:
+            # flash blocks index bias by rank-4 position; lower-rank
+            # biases (fine for the XLA path's broadcasting) must gain
+            # leading axes or the kernel path crashes only once the
+            # sequence grows past the flash threshold
+            while bias.ndim < 4:
+                bias = bias[None]
         return flash_attention(q, k, v, bias=bias)
     return _xla_attention(q, k, v, bias)
 

@@ -3,10 +3,15 @@
 The long axis in this framework is frames x patches (e.g. 16 frames x
 197 patches ~ 3.2k tokens for the ViT-L 16-frame config, BASELINE.json
 config 5; 8-frame GIT-base trains at ~1.6k).  The XLA fallback
-materialises the (Lq, Lk) score matrix in HBM; this kernel streams K/V
-blocks through VMEM with the standard online-softmax recurrence, so
-memory is O(BQ x Lk_block) and the MXU stays busy
-(SURVEY.md §5.7: blockwise kernel instead of multi-chip CP).
+materialises the (Lq, Lk) score matrix in HBM; this kernel keeps the
+softmax TEMPORARIES at O(BQ x BK) via the online recurrence (no
+(Lq, Lk) score matrix ever exists), while each program stages the full
+padded K/V (O(Lk x Dh)) — and, for a per-example bias, a (BQ, Lk) f32
+bias block — in VMEM.  That bias block is the VMEM ceiling: ~13 MB at
+Lk~6.4k, near v5e's 16 MB.  Sequences beyond that need the metadata-mask
+variant (ops/git_flash.py reconstructs the mask from O(B*S) data
+in-kernel) rather than a materialised bias.
+(SURVEY.md §5.7: blockwise kernel instead of multi-chip CP.)
 
 Forward runs in Pallas; the backward pass uses an XLA recompute VJP
 (correct, O(L^2) transient) — a Pallas backward kernel is future work.
@@ -25,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e9
+# shared mask constant — the XLA and flash paths must agree bit-for-bit
+from sasvqa_tpu.ops.attention import NEG_INF
 
 # 512-blocks run ~2x faster than 128 at kiloscale sequences on v5e
 DEFAULT_BQ = 512
