@@ -31,7 +31,9 @@ def flash_backend_ok() -> bool:
     default-device override first."""
     dd = jax.config.jax_default_device
     if dd is not None:
-        return dd.platform == "tpu"
+        # jax also accepts a plain platform STRING here ("cpu"), which
+        # has no .platform attribute
+        return getattr(dd, "platform", dd) == "tpu"
     return jax.default_backend() == "tpu"
 
 

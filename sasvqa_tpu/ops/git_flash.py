@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e9
+# shared mask constant — all three attention paths (XLA, generic flash,
+# GIT flash) must agree bit-for-bit
+from sasvqa_tpu.ops.attention import NEG_INF
 
 # 512-blocks measured 2.1x faster than 128 at S=1640 on v5e (the MXU
 # amortises better over bigger tiles; padding waste is within the win)

@@ -450,22 +450,29 @@ def start_training(cfg) -> Dict[str, Any]:
             infinite_batches(train_ds, collator, per_host_batch, host_rng,
                              pool=pool),
             mesh=mesh)
-    # --profile_steps: device-trace a window of steps after compile
+    # --profile_steps: device-trace a window of steps after compile.
+    # The start is relative to THIS invocation's first step (resumed
+    # runs begin at start global_step, not 0)
     prof_n = int(cfg.get("profile_steps", 0) or 0)
+    prof_start = global_step + 2
     prof = {"on": False, "stop_at": 0}
+
+    def prof_stop(metrics=None):
+        if metrics is not None:
+            float(metrics["loss"])   # drain async dispatch first
+        jax.profiler.stop_trace()
+        prof["on"] = False
 
     def prof_tick(global_step, metrics):
         if prof_n <= 0:
             return
-        if not prof["on"] and global_step == 2:
+        if not prof["on"] and global_step == prof_start:
             jax.profiler.start_trace(os.path.join(output_dir, "trace"))
             prof.update(on=True, stop_at=global_step + prof_n)
-            LOGGER.info(f"profiling steps [2, {prof['stop_at']}) -> "
-                        f"{output_dir}/trace")
+            LOGGER.info(f"profiling steps [{prof_start}, "
+                        f"{prof['stop_at']}) -> {output_dir}/trace")
         elif prof["on"] and global_step >= prof["stop_at"]:
-            float(metrics["loss"])   # drain async dispatch first
-            jax.profiler.stop_trace()
-            prof["on"] = False
+            prof_stop(metrics)
 
     t_start = time.time()
     for batch, host_meta in (prefetch if prefetch is not None else ()):
@@ -489,6 +496,12 @@ def start_training(cfg) -> Dict[str, Any]:
             prof_tick(global_step, metrics)
             restorer.maybe_save(start_micro + micro, state)
             if global_step % cfg.valid_steps == 0:
+                if prof["on"]:
+                    # truncate the window rather than pollute the step
+                    # trace with a full validation pass + host gathers
+                    LOGGER.info("profiling window truncated at a "
+                                "validation boundary")
+                    prof_stop(metrics)
                 total_correct = total_preds = 0
                 # the final step skips the in-loop eval: the final_
                 # validation right after the loop evaluates the exact
@@ -506,8 +519,7 @@ def start_training(cfg) -> Dict[str, Any]:
             # MultiSteps update cycle
             if preempted["flag"]:
                 if prof["on"]:
-                    jax.profiler.stop_trace()
-                    prof["on"] = False
+                    prof_stop()
                 prefetch.close()
                 if pool is not None:
                     pool.close()
@@ -526,8 +538,7 @@ def start_training(cfg) -> Dict[str, Any]:
 
     flush_metrics()
     if prof["on"]:        # loop ended inside the profiling window
-        jax.profiler.stop_trace()
-        prof["on"] = False
+        prof_stop()
     if prefetch is not None:
         prefetch.close()  # release staged device batches before final eval
     if pool is not None:
@@ -535,8 +546,11 @@ def start_training(cfg) -> Dict[str, Any]:
     # guarantee a final eval snapshot: when num_train_steps never hits a
     # valid_steps boundary the loop saves nothing, leaving --do_inference
     # with no snapshot to restore (the reference has the same hole —
-    # it only saves inside its valid-steps block, run_video_qa.py:515-522)
-    if global_step > 0 and last_saved_step != global_step:
+    # it only saves inside its valid-steps block, run_video_qa.py:515-522).
+    # micro > 0 = training actually ran THIS invocation: an
+    # inference-only run must not re-save its restored params under the
+    # resumed global_step (that would mislabel an older snapshot)
+    if micro > 0 and global_step > 0 and last_saved_step != global_step:
         from sasvqa_tpu.parallel.mesh import fetch_params_for_save
         saver.save(global_step, fetch_params_for_save(state.params, mesh))
     res_v, res_t = run_validation("final_")

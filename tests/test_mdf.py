@@ -75,22 +75,21 @@ def test_importance_order_and_min_distance():
     inds, exhausted = mdf_select(jnp.asarray(feats), k, window=w)
     inds = np.asarray(inds)
     # n=120, k=6, w=6 leaves plenty of room: exhaustion here would be a
-    # regression (and would skip every property assert below)
+    # regression (and would have skipped every property assert below)
     assert not bool(exhausted)
-    if not bool(exhausted):
-        lcl = np.asarray(local_average_similarity(
-            jnp.asarray(feats / np.linalg.norm(feats, axis=-1,
-                                               keepdims=True)), w))
-        # importance order: non-increasing scores
-        scores = lcl[inds]
-        assert all(scores[i] >= scores[i + 1] - 1e-6
-                   for i in range(len(scores) - 1))
-        # pairwise distance >= W under the [idx-W, idx+W) window means
-        # later picks are never within W *below* an earlier pick
-        for i in range(k):
-            for j in range(i + 1, k):
-                d = inds[j] - inds[i]
-                assert not (-w <= d < w), (inds[i], inds[j])
+    lcl = np.asarray(local_average_similarity(
+        jnp.asarray(feats / np.linalg.norm(feats, axis=-1,
+                                           keepdims=True)), w))
+    # importance order: non-increasing scores
+    scores = lcl[inds]
+    assert all(scores[i] >= scores[i + 1] - 1e-6
+               for i in range(len(scores) - 1))
+    # pairwise distance >= W under the [idx-W, idx+W) window means
+    # later picks are never within W *below* an earlier pick
+    for i in range(k):
+        for j in range(i + 1, k):
+            d = inds[j] - inds[i]
+            assert not (-w <= d < w), (inds[i], inds[j])
 
 
 def test_padded_matches_unpadded():
