@@ -29,6 +29,37 @@ def test_shipped_configs_parse_and_build(path):
     assert cfg.train_batch_size * cfg.gradient_accumulation_steps >= 32
 
 
+@pytest.mark.skipif(not os.path.isdir("/root/reference/src/configs"),
+                    reason="reference mount not available")
+def test_shipped_configs_match_reference_knobs():
+    """Training-relevant knob values must equal the reference configs
+    (case-insensitive for optimizer names).  Deliberate divergences:
+    output paths, dead keys (detectron2/BGR/cnn_* — vestigial ClipBERT),
+    fp16 (we run bf16), and msrvtt_qa_base's typo'd 'decay_epocs' which
+    we translate to step_decay_epochs (the reference's literal config
+    crashes MultiStepLR with milestones=None)."""
+    import json
+    keys = ["train_batch_size", "gradient_accumulation_steps", "nframe",
+            "samp_policy", "img_size", "learning_rate",
+            "num_train_epochs", "max_txt_len", "decay", "optim", "seed",
+            "weight_decay", "num_valid", "min_valid_steps", "gamma",
+            "max_n_example_per_group", "val_batch_size",
+            "inference_batch_size"]
+    norm = lambda v: str(v).lower() if isinstance(v, str) else v
+    for path in sorted(glob.glob(os.path.join(REPO, "configs", "*.json"))):
+        name = os.path.basename(path)
+        ref_path = f"/root/reference/src/configs/{name}"
+        if not os.path.exists(ref_path):
+            continue
+        ref = json.load(open(ref_path))
+        ours = json.load(open(path))
+        for k in keys:
+            if k not in ref:
+                continue
+            assert norm(ours.get(k)) == norm(ref[k]), (name, k, ref[k],
+                                                       ours.get(k))
+
+
 def test_shipped_configs_have_distinct_output_dirs():
     """Regression: the six shipped configs must not share output_dirs —
     the launch scripts rm -rf them on train, so a shared dir let one
