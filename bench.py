@@ -68,6 +68,11 @@ def main():
     # division below is honest (an unsharded jit runs on ONE device and
     # dividing by n_chips would understate per-chip throughput n_chips-x)
     n_chips = len(jax.devices())
+    if n_chips > 1 and BATCH % n_chips != 0:
+        # a batch that doesn't divide the chip count can't shard evenly
+        # on the data axis; time on one device instead of failing the
+        # device_put (ADVICE r2) — per-chip numbers stay honest
+        n_chips = 1
     if n_chips > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec
         mesh = Mesh(np.array(jax.devices()), ("data",))

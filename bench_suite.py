@@ -156,6 +156,74 @@ def _measure_eval(name="git8_eval", batch=16, frames=8, txt_len=16,
     }), flush=True)
 
 
+def _measure_accum(name="git6_accum8", batch=6, frames=6, txt_len=32,
+                   k=8, calls=4):
+    """Gradient-accumulation formulations head-to-head at msvd_base
+    shape (reference configs accumulate 8-128 micros,
+    configs/msvd_qa_base2.json): ms per MICRO step for (a) scan_accum
+    (default: lax.scan over K stacked micros, ONE optimizer update) and
+    (b) optax.MultiSteps (full inner update every micro, K-1 of K
+    discarded).  Both run the real train/steps builders."""
+    from sasvqa_tpu.core.config import ConfigDict
+    from sasvqa_tpu.train import steps as train_steps
+
+    model = _git_model()
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 1000, size=(batch, txt_len)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+    pixels = jnp.asarray(
+        rng.normal(size=(batch, frames, 224, 224, 3)), jnp.float32)
+    labels = jnp.where(mask == 1, ids, -100)
+    key = jax.random.key(1)
+
+    def mk_state(scan):
+        cfg = ConfigDict(optim="adamw", learning_rate=1e-5,
+                         decay="constant", weight_decay=0.01, grad_norm=2.0,
+                         num_train_epochs=1,
+                         gradient_accumulation_steps=k, scan_accum=scan,
+                         betas=[0.9, 0.98])
+        params = jax.jit(model.init)(jax.random.key(0), ids, mask,
+                                     pixels[:, :1])
+        return train_steps.create_train_state(model, params, cfg,
+                                              total_steps=1000)
+
+    # (a) scan accumulation: one call = K micros
+    state = mk_state(scan=1)
+    step = train_steps.make_scan_train_step(k, "git")
+    sbatch = {"text_input_ids": jnp.stack([ids] * k),
+              "text_attention_mask": jnp.stack([mask] * k),
+              "visual_inputs": jnp.stack([pixels] * k),
+              "labels": jnp.stack([labels] * k)}
+    state, m = step(state, sbatch, key)
+    float(m["loss"])  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        state, m = step(state, sbatch, key)
+    float(m["loss"])
+    dt_scan = (time.perf_counter() - t0) / (calls * k)
+
+    # (b) MultiSteps: one call = one micro
+    state = mk_state(scan=0)
+    step = train_steps.make_git_train_step()
+    batch_d = {"text_input_ids": ids, "text_attention_mask": mask,
+               "visual_inputs": pixels, "labels": labels}
+    state, m = step(state, batch_d, key)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(calls * k):
+        state, m = step(state, batch_d, key)
+    float(m["loss"])
+    dt_ms = (time.perf_counter() - t0) / (calls * k)
+
+    print(json.dumps({
+        "config": name, "batch": batch, "frames": frames, "k_micro": k,
+        "ms_per_micro_scan": round(dt_scan * 1000, 1),
+        "ms_per_micro_multisteps": round(dt_ms * 1000, 1),
+        "scan_speedup": round(dt_ms / dt_scan, 3),
+    }), flush=True)
+
+
 def _measure_mdf(name="mdf_stageA", n_frames=256, k=16, w=8, steps=6):
     """Offline stage-A device throughput: frozen ViT encode of every
     decoded frame + on-device banded MDF selection (frames/sec/chip).
@@ -192,6 +260,7 @@ ROWS = {
     "vitl16": lambda: _measure("vitl16_stretch",
                                _git_model(large=True, remat=True), 8, 16,
                                32, steps=6),
+    "accum": _measure_accum,
     "eval": _measure_eval,
     "mdf": _measure_mdf,
     # MIF stage B part 1 (gen_sample gen_cap): [CLS]-prompted 30-token

@@ -133,6 +133,26 @@ def build_shared_parser(desc: str = "sasvqa_tpu shared config") -> argparse.Argu
     p.add_argument("--train_batch_size", default=128, type=int)
     p.add_argument("--val_batch_size", default=128, type=int)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--stage_pixels_bf16", type=int, default=1,
+                   choices=[0, 1],
+                   help="stage pixel batches host->device as bf16 when "
+                        "activations are bf16 (halves the dominant "
+                        "transfer; the first conv casts to bf16 anyway). "
+                        "0 keeps f32 staging.")
+    p.add_argument("--accum_grad_mean", type=int, default=1, choices=[0, 1],
+                   help="1 (default): average gradients over the "
+                        "accumulation window. 0: SUM them — the "
+                        "reference's exact live behavior (its per-micro "
+                        "loss.backward() never divides by K), which "
+                        "scales the effective step by K.")
+    p.add_argument("--scan_accum", type=int, default=1, choices=[0, 1],
+                   help="accumulate gradients in-jit over K stacked "
+                        "micro-batches with ONE optimizer update per "
+                        "global step (default; ~10%% faster than the "
+                        "0 = optax.MultiSteps per-micro fallback). "
+                        "Checkpoints are NOT interchangeable across the "
+                        "two settings (optimizer state trees differ); "
+                        "keep the flag fixed across resume.")
     p.add_argument("--learning_rate", default=5e-5, type=float)
     p.add_argument("--num_valid", default=20, type=int)
     p.add_argument("--min_valid_steps", default=100, type=int)
@@ -153,7 +173,12 @@ def build_shared_parser(desc: str = "sasvqa_tpu shared config") -> argparse.Argu
     # inference
     p.add_argument("--inference_model_step", default=-1, type=int)
     p.add_argument("--do_inference", default=0, type=int, choices=[0, 1])
-    p.add_argument("--inference_split", default="val")
+    p.add_argument("--inference_split", default="val",
+                   help="split --do_inference evaluates (reference "
+                        "configs/config.py:202-204): 'val' scores against "
+                        "ground truth; 'test*' assumes none — predictions "
+                        "are written to output_dir/qa_results_{split}.json "
+                        "without scoring")
     p.add_argument("--inference_txt_db", type=str, default=None)
     p.add_argument("--inference_img_db", type=str, default=None)
     p.add_argument("--inference_batch_size", type=int, default=64)

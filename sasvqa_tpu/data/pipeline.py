@@ -59,8 +59,29 @@ def shard_for_host(indices: np.ndarray,
     n = len(indices)
     total = -(-n // pc) * pc            # ceil to a multiple of pc
     if total > n and n > 0:
-        indices = np.concatenate([indices, indices[:total - n]])
+        # np.resize TILES the ordering until it fills, so padding stays
+        # correct even when process_count exceeds the dataset size
+        # (torch DistributedSampler tiles the same way); a single
+        # front-slice concat would come up short there (ADVICE r2)
+        indices = np.resize(indices, total)
     return indices[pi::pc]
+
+
+def eval_batch_plan(n: int, global_bs: int):
+    """Global eval batch plan, IDENTICAL on every process.
+
+    Yields (idx_padded, n_real_groups): sequential batches over ``n``
+    samples, each index list tiled (np.resize) to EXACTLY ``global_bs``
+    rows.  Constant shapes mean the eval step compiles once; tiled
+    padding rows sit at the END so consumers drop them by slicing the
+    first n_real outputs.  Each process evaluates rows
+    ``[pi*global_bs/pc, (pi+1)*global_bs/pc)`` of every batch —
+    contiguous blocks, matching the process-ordered device layout
+    shard_batch assembles global arrays with."""
+    assert global_bs >= 1
+    for start in range(0, n, global_bs):
+        idx = np.arange(start, min(start + global_bs, n))
+        yield np.resize(idx, global_bs), len(idx)
 
 
 def collate_indices(dataset, collator, idx, rng) -> Dict[str, Any]:
@@ -216,6 +237,49 @@ def infinite_batches(dataset, collator, batch_size: int,
                                  process_count=process_count, pool=pool)
 
 
+def stack_microbatches(it: Iterator[Dict[str, Any]], k: int,
+                       host_keys=None) -> Iterator[Dict[str, Any]]:
+    """Group K consecutive host batches into ONE stacked batch with a
+    leading micro axis — array leaves become (K, B, ...) — feeding the
+    lax.scan accumulation train step (train/steps.make_scan_train_step).
+
+    Collators pad text to fixed buckets and training batching uses
+    drop_last, so all K micros share identical leaf shapes (asserted).
+    Host-side keys (question_ids, ...) become lists of per-micro values;
+    a leaf that is None must be None in every micro.
+    """
+    assert k >= 1
+    if host_keys is None:
+        host_keys = DevicePrefetcher.HOST_KEYS
+    it = iter(it)
+    while True:
+        group = []
+        for _ in range(k):
+            try:
+                group.append(next(it))
+            except StopIteration:
+                # incomplete trailing group = a partial accumulation
+                # window; drop it (same semantics as a MultiSteps run
+                # ending mid-cycle: those micros never emit an update)
+                return
+        out: Dict[str, Any] = {}
+        for key in group[0]:
+            vals = [g[key] for g in group]
+            if key in host_keys:
+                out[key] = vals
+            elif vals[0] is None:
+                assert all(v is None for v in vals), key
+                out[key] = None
+            else:
+                shapes = {np.asarray(v).shape for v in vals}
+                assert len(shapes) == 1, (
+                    f"micro-batch leaf '{key}' shapes differ across the "
+                    f"accumulation window: {shapes} — stacking requires "
+                    f"fixed collator buckets + drop_last batching")
+                out[key] = np.stack(vals)
+        yield out
+
+
 class MetaLoader:
     """Ratio-weighted multi-task batch interleaver
     (reference: src/datasets/dataloader.py:14-55 — used by its pretrain
@@ -264,8 +328,12 @@ class DevicePrefetcher:
 
     HOST_KEYS = ("question_ids", "n_examples_list")
 
-    def __init__(self, it: Iterator[Dict[str, Any]], mesh=None, depth: int = 2):
+    def __init__(self, it: Iterator[Dict[str, Any]], mesh=None, depth: int = 2,
+                 micro_axis: bool = False):
+        """``micro_axis``: batches are K-stacked (K, B, ...) from
+        stack_microbatches — shard dim 1 on 'data', not dim 0."""
         self._mesh = mesh
+        self._micro_axis = micro_axis
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._src = it
         self._err: Optional[BaseException] = None
@@ -279,7 +347,8 @@ class DevicePrefetcher:
         arrays = {k: v for k, v in batch.items() if v is not None}
         if self._mesh is not None:
             from sasvqa_tpu.parallel.mesh import shard_batch
-            arrays = shard_batch(arrays, self._mesh)
+            arrays = shard_batch(arrays, self._mesh,
+                                 micro_axis=self._micro_axis)
         else:
             import jax
             arrays = {k: jax.device_put(v) for k, v in arrays.items()}

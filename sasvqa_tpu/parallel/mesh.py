@@ -48,22 +48,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, micro_axis: bool = False) -> Any:
     """device_put a host batch pytree with the batch axis sharded on
     ``data``.  Non-array leaves pass through.
+
+    ``micro_axis``: leaves are K-stacked (K, B, ...) for the scan
+    accumulation step — the data axis is dim 1 (P(None, 'data')) and
+    every device holds the whole micro axis.
 
     Multi-host: each host holds only its per-host slice of the global
     batch (epoch_batches shards sample indices by process), so the
     global array is assembled from process-local shards."""
-    sharding = batch_sharding(mesh)
+    spec = P(None, DATA_AXIS) if micro_axis else P(DATA_AXIS)
+    sharding = NamedSharding(mesh, spec)
     multihost = jax.process_count() > 1
+    min_ndim = 2 if micro_axis else 1
 
     def put(x):
-        if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+        if hasattr(x, "shape") and getattr(x, "ndim", 0) >= min_ndim:
             if multihost:
                 return jax.make_array_from_process_local_data(
                     sharding, np.asarray(x))
             return jax.device_put(x, sharding)
+        if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            return jax.device_put(x, NamedSharding(mesh, P()))
         return x
 
     return jax.tree_util.tree_map(put, batch)
@@ -130,6 +138,20 @@ def fetch_params_for_save(params: Any, mesh: Optional[Mesh]) -> Any:
                          out_shardings=jax.tree_util.tree_map(
                              lambda _: rep, params))(params)
     return jax.device_get(params)
+
+
+def fetch_replicated(x: Any, mesh: Optional[Mesh]) -> np.ndarray:
+    """Host copy of a (possibly cross-host-sharded) array.
+
+    Single process: plain fetch.  Multi-host: a jitted identity with a
+    replicated out_sharding first (XLA all-gathers the shards over ICI),
+    so every process can read the FULL array — the eval loop uses this
+    to give all hosts identical per-batch outputs (predictions are tiny:
+    ints/logit rows, never activations)."""
+    if mesh is not None and jax.process_count() > 1:
+        rep = NamedSharding(mesh, P())
+        x = jax.jit(lambda a: a, out_shardings=rep)(x)
+    return np.asarray(x)
 
 
 def pad_batch_to_multiple(batch: Any, multiple: int) -> Any:

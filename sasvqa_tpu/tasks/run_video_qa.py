@@ -48,7 +48,7 @@ from sasvqa_tpu.data.tokenization import (CLIPBPETokenizer,
                                           WordPieceTokenizer,
                                           make_test_wordpiece)
 from sasvqa_tpu.models.presets import build_model, load_pretrained_params
-from sasvqa_tpu.parallel.mesh import make_mesh, pad_batch_to_multiple
+from sasvqa_tpu.parallel.mesh import make_mesh
 from sasvqa_tpu.train import steps as train_steps
 from sasvqa_tpu.utils.basic import get_rounded_percentage
 
@@ -102,43 +102,43 @@ def decode_answers(tokenizer, generated: np.ndarray,
     return preds, strs
 
 
-def _pad_mc_batch(batch, n_dev: int, n_options: int):
-    """Pad an MC batch: video axis (B) to n_dev, text axis to B'*O."""
-    b = batch["visual_inputs"].shape[0]
-    rem = (-b) % n_dev
-    if rem == 0:
-        return batch
-    out = dict(batch)
-    out["visual_inputs"] = np.pad(
-        batch["visual_inputs"],
-        [(0, rem)] + [(0, 0)] * (batch["visual_inputs"].ndim - 1))
-    if batch.get("labels") is not None:
-        out["labels"] = np.pad(batch["labels"], (0, rem),
-                               constant_values=-100)
-    for k in ("text_input_ids", "text_attention_mask"):
-        out[k] = np.pad(batch[k],
-                        [(0, rem * n_options), (0, 0)])
-    return out
-
-
 def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
              eval_step, mesh, eval_score: bool = True,
              tag: str = "valid", n_options: int = 0,
              logits_step=None) -> Dict[str, Any]:
     """Evaluation loop (reference validate, run_video_qa.py:283-387).
 
-    Single-controller: evaluates the full split on this process's mesh.
-    On multi-host pods only the training path is input-sharded;
-    validation currently assumes all devices are addressable from this
-    host (run it on a single host or with a host-local mesh)."""
+    Multi-host correct: every process walks the IDENTICAL global batch
+    plan (``eval_batch_plan`` — each batch index list tiled to exactly
+    ``global_bs``, so eval compiles ONCE), collates only its contiguous
+    per-host row block, and the jitted eval step runs SPMD over the
+    global mesh (``shard_batch`` assembles the global batch from
+    process-local shards, exactly as training does).  The tiny
+    per-batch outputs — pred labels / generated token ids / logit rows,
+    never activations — are replicated back to every host
+    (``fetch_replicated``), so all processes build identical qa_results
+    and scores.  This is the modern equivalent of the reference's
+    intended per-rank result shards merged by rank 0
+    (run_video_retrieval.py:698-724), without the filesystem
+    round-trip.  Assumes the mesh enumerates devices in process order
+    (make_mesh over jax.devices() does) — the same assumption the
+    training path's shard_batch makes.
+    """
     st = time.time()
     qa_results = []
     n_ex = 0
+    pc = jax.process_count()
+    pi = jax.process_index() if pc > 1 else 0
     n_dev = mesh.devices.size if mesh is not None else 1
     # reference: --do_inference evaluates at inference_batch_size; normal
     # validation at val_batch_size (run_video_qa.py:154-157)
     eval_bs = int(cfg.inference_batch_size if cfg.get("do_inference")
                   else cfg.val_batch_size)
+    # fixed global batch: a multiple of n_dev shards evenly and covers
+    # the per-host split too (hosts hold equal device counts)
+    global_bs = -(-max(eval_bs, n_dev) // n_dev) * n_dev
+    assert global_bs % pc == 0, (global_bs, pc)
+    rows = global_bs // pc
     # deterministic eval-time frame sampling (policies like 'random'
     # draw from this seeded rng)
     eval_rng = np.random.default_rng(cfg.seed)
@@ -146,59 +146,64 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
     # frame samples per video (score_agg_func, configs/config.py:99-101)
     ensemble = int(cfg.get("inference_n_clips", 1)) \
         if family != "git" and not n_options and logits_step else 1
-    pad_to = max(eval_bs, n_dev)
 
-    def prep(batch):
+    from sasvqa_tpu.data.pipeline import eval_batch_plan
+    from sasvqa_tpu.parallel.mesh import fetch_replicated, shard_batch
+
+    def stage(batch):
+        batch.pop("question_ids", None)
         batch.pop("n_examples_list", None)
-        if n_options:
-            batch = _pad_mc_batch(batch, pad_to, n_options)
-        else:
-            batch = pad_batch_to_multiple(batch, pad_to)
-        return {k: v for k, v in batch.items() if v is not None}
+        arrays = {k: v for k, v in batch.items() if v is not None}
+        if mesh is not None:
+            arrays = shard_batch(arrays, mesh)
+        return arrays
 
-    from sasvqa_tpu.data.pipeline import batch_indices, collate_indices
-    for b_idx, idx in enumerate(batch_indices(
-            len(dataset), eval_bs, False, None)):
-        if ensemble > 1:
-            # one HDF5 read per video for ALL clips — and one
-            # get_group outcome: its random-substitution-on-error
-            # would otherwise pick DIFFERENT videos per clip
-            items = [dataset.get_group(int(i)) for i in idx]
-            batch = collator(items, rng=eval_rng)
-        else:
-            batch = collate_indices(dataset, collator, idx, eval_rng)
-        question_ids = batch.pop("question_ids")
-        n_real = len(question_ids)
-        batch = prep(batch)
+    for b_idx, (idx_p, n_real_groups) in enumerate(
+            eval_batch_plan(len(dataset), global_bs)):
+        # global question ids + real-example count from datalist
+        # METADATA only — no frame IO for other hosts' rows; tiled
+        # padding groups sit at the END of idx_p, so the first n_real
+        # output rows are exactly the real examples
+        gqids = [e["question_id"] for i in idx_p
+                 for e in dataset.datalist[int(i)][1]]
+        n_real = sum(len(dataset.datalist[int(i)][1])
+                     for i in idx_p[:n_real_groups])
+        local_idx = idx_p[pi * rows:(pi + 1) * rows]
+        # one HDF5 read per video for ALL clips — and one get_group
+        # outcome: its random-substitution-on-error would otherwise
+        # pick DIFFERENT videos per clip
+        items = [dataset.get_group(int(i)) for i in local_idx]
+        batch = stage(collator(items, rng=eval_rng))
         if family == "git":
-            generated = np.asarray(eval_step(state, batch))
+            generated = fetch_replicated(eval_step(state, batch), mesh)
             preds, strs = decode_answers(tokenizer, generated[:n_real],
                                          ans2label)
-            for qid, p, s in zip(question_ids, preds, strs):
+            for qid, p, s in zip(gqids, preds, strs):
                 qa_results.append(dict(question_id=qid, answer=p,
                                        answer_str=s,
                                        data=dataset.qid2data[qid]))
         elif ensemble > 1:
             from sasvqa_tpu.train.retrieval import aggregate_clip_scores
-            all_logits = [np.asarray(logits_step(state, batch))[:n_real]]
+            all_logits = [fetch_replicated(logits_step(state, batch),
+                                           mesh)[:n_real]]
             # extra clips re-run only the collator on the items read
             # above (frame re-sampling lives in the collator)
             for _ in range(ensemble - 1):
-                b2 = collator(items, rng=eval_rng)
-                b2.pop("question_ids")
+                b2 = stage(collator(items, rng=eval_rng))
                 all_logits.append(
-                    np.asarray(logits_step(state, prep(b2)))[:n_real])
+                    fetch_replicated(logits_step(state, b2),
+                                     mesh)[:n_real])
             agg = aggregate_clip_scores(
                 jnp.asarray(np.stack(all_logits, axis=-1)),
                 cfg.get("score_agg_func", "mean"))
             preds = np.asarray(jnp.argmax(agg, axis=-1)).tolist()
-            for qid, p in zip(question_ids, preds):
+            for qid, p in zip(gqids, preds):
                 qa_results.append(dict(question_id=qid, answer=int(p),
                                        data=dataset.qid2data[qid]))
         else:
             preds, _ = eval_step(state, batch)
-            preds = np.asarray(preds)[:n_real].tolist()
-            for qid, p in zip(question_ids, preds):
+            preds = fetch_replicated(preds, mesh)[:n_real].tolist()
+            for qid, p in zip(gqids, preds):
                 qa_results.append(dict(question_id=qid, answer=int(p),
                                        data=dataset.qid2data[qid]))
         n_ex += n_real
@@ -333,12 +338,26 @@ def start_training(cfg) -> Dict[str, Any]:
                 else replicated(mesh))
             state = state.replace(params=loaded)
 
+    # scan accumulation (default): one jitted call = K stacked micros +
+    # ONE optimizer update; --scan_accum 0 falls back to per-micro calls
+    # through optax.MultiSteps (train/steps.make_scan_train_step doc)
+    accum = int(cfg.gradient_accumulation_steps)
+    use_scan = accum > 1 and bool(cfg.get("scan_accum", 1))
+    gmean = bool(cfg.get("accum_grad_mean", 1))
+
     if is_mc:
-        train_step = train_steps.make_mc_train_step(cfg.num_labels, mesh)
+        train_step = (train_steps.make_scan_train_step(
+            accum, "mc", n_options=cfg.num_labels, mesh=mesh,
+            grad_mean=gmean)
+            if use_scan
+            else train_steps.make_mc_train_step(cfg.num_labels, mesh))
         eval_step = train_steps.make_mc_eval_step(cfg.num_labels, mesh)
         eval_collator = collator
     elif family == "git":
-        train_step = train_steps.make_git_train_step(mesh)
+        train_step = (train_steps.make_scan_train_step(accum, "git",
+                                                       mesh=mesh,
+                                                       grad_mean=gmean)
+                      if use_scan else train_steps.make_git_train_step(mesh))
         # default budget = the reference's generate(max_length=50)-total
         # semantics (modeling.py:333): max_new defaults to max_text_len-1
         # inside greedy_generate; the while_loop early-exits when every
@@ -346,13 +365,17 @@ def start_training(cfg) -> Dict[str, Any]:
         eval_step = train_steps.make_git_eval_step(
             model, max_text_len=cfg.get("gen_max_text_len", 50),
             max_new_tokens=cfg.get("gen_max_new_tokens"), mesh=mesh)
+        from sasvqa_tpu.data.dataset import pixel_dtype_for
         eval_collator = GITCollator(
             tokenizer, max_txt_len=cfg.max_txt_len,
             max_seq_len=cfg.get("max_seq_len", cfg.max_txt_len + 12),
             task_type=cfg.task, nframe=cfg.nframe,
-            samp_policy=cfg.samp_policy, add_ans=False)
+            samp_policy=cfg.samp_policy, add_ans=False,
+            pixel_dtype=pixel_dtype_for(cfg))
     else:
-        train_step = train_steps.make_classifier_train_step(mesh)
+        train_step = (train_steps.make_scan_train_step(
+            accum, "classifier", mesh=mesh, grad_mean=gmean)
+            if use_scan else train_steps.make_classifier_train_step(mesh))
         eval_step = train_steps.make_classifier_eval_step(mesh)
         eval_collator = collator
 
@@ -366,6 +389,28 @@ def start_training(cfg) -> Dict[str, Any]:
         logits_step = train_steps.make_classifier_logits_step(mesh)
 
     def run_validation(tag_prefix=""):
+        if cfg.do_inference:
+            # --inference_split selects the ONE split inference
+            # evaluates (reference configs/config.py:202-204: "val" has
+            # ground truth; "test*" data may come without — emit
+            # predictions but skip scoring for test*)
+            split = str(cfg.get("inference_split", "val"))
+            ds = val_ds if split == "val" else test_ds
+            res = validate(state, ds, eval_collator, cfg, family,
+                           tokenizer, ans2label, eval_step, mesh,
+                           eval_score=not split.startswith("test"),
+                           tag=f"{tag_prefix}{split}", n_options=n_opt,
+                           logits_step=logits_step)
+            # predictions always land on disk in inference mode (the
+            # reference's intended submission-file pattern,
+            # run_video_retrieval.py:698-724, modernized to one file)
+            from sasvqa_tpu.utils.basic import save_json
+            save_json([{k: v for k, v in r.items() if k != "data"}
+                       for r in res["qa_results"]],
+                      os.path.join(output_dir,
+                                   f"qa_results_{split}.json"))
+            empty = {"qa_results": [], "scores": {}}
+            return (res, empty) if split == "val" else (empty, res)
         res_v = validate(state, val_ds, eval_collator, cfg, family,
                          tokenizer, ans2label, eval_step, mesh,
                          tag=f"{tag_prefix}valid", n_options=n_opt,
@@ -446,10 +491,12 @@ def start_training(cfg) -> Dict[str, Any]:
         if n_workers > 0:
             from sasvqa_tpu.data.pipeline import CollatorPool
             pool = CollatorPool(train_ds, collator, n_workers)
-        prefetch = DevicePrefetcher(
-            infinite_batches(train_ds, collator, per_host_batch, host_rng,
-                             pool=pool),
-            mesh=mesh)
+        source = infinite_batches(train_ds, collator, per_host_batch,
+                                  host_rng, pool=pool)
+        if use_scan:
+            from sasvqa_tpu.data.pipeline import stack_microbatches
+            source = stack_microbatches(source, accum)
+        prefetch = DevicePrefetcher(source, mesh=mesh, micro_axis=use_scan)
     # --profile_steps: device-trace a window of steps after compile.
     # The start is relative to THIS invocation's first step (resumed
     # runs begin at start global_step, not 0)
@@ -475,9 +522,12 @@ def start_training(cfg) -> Dict[str, Any]:
             prof_stop(metrics)
 
     t_start = time.time()
+    # scan path: one loop iteration consumes K stacked micros and is
+    # always an accumulation boundary; state.step still counts micros
+    micros_per_call = accum if use_scan else 1
     for batch, host_meta in (prefetch if prefetch is not None else ()):
         state, metrics = train_step(state, batch, dropout_key)
-        micro += 1
+        micro += micros_per_call
         if micro % cfg.gradient_accumulation_steps == 0:
             global_step += 1
             pending.append((global_step, metrics))

@@ -47,11 +47,20 @@ def timed(fn, args, iters, name, tflop=None):
     def loop(carry, *a):
         return jax.lax.fori_loop(0, iters, lambda _, c: fn(c, *a), carry)
 
+    @jax.jit
+    def _touch_all(out):
+        # one scalar of EVERY output leaf reduced on device: independent
+        # output buffers complete independently (core/profiling.synced
+        # rationale), so syncing only one leaf could stop the timer while
+        # other fori_loop outputs are still in flight (ADVICE r2).  A
+        # per-leaf host fetch would cost ~34 ms x n_leaves; this costs
+        # one fetch.
+        return sum(l.ravel()[0].astype(jnp.float32)
+                   for l in jax.tree_util.tree_leaves(out)
+                   if getattr(l, "size", 0))
+
     def sync(out):
-        # host-fetch ONE element of the smallest output leaf: fetching the
-        # whole carry (params trees) round-trips GBs over the tunnel
-        leaf = min(jax.tree_util.tree_leaves(out), key=lambda x: x.size)
-        return float(jnp.asarray(leaf).ravel()[0])
+        return float(_touch_all(out))
 
     carry = args[0]
     rest = args[1:]

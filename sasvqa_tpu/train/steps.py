@@ -133,8 +133,19 @@ def make_optimizer(cfg, total_steps: int,
         chain.append(optax.masked(optax.scale(lr_mul), mask))
     out = optax.chain(*chain)
     accum = cfg.get("gradient_accumulation_steps", 1)
-    if accum > 1:
-        out = optax.MultiSteps(out, every_k_schedule=accum)
+    if accum > 1 and not cfg.get("scan_accum", 1):
+        # accum_grad_mean=0 reproduces the reference's exact semantics:
+        # per-micro loss.backward() with no /K SUMS gradients over the
+        # window (run_video_qa.py:490-509 never scales the loss)
+        grad_mean = bool(cfg.get("accum_grad_mean", 1))
+        # legacy formulation: MultiSteps runs the FULL inner update (and
+        # its optimizer memory traffic) every micro step and discards
+        # K-1 of K results — measured ~10% step-time waste at msvd_base
+        # shape (CLAUDE.md perf notes).  The default path instead
+        # accumulates in-jit via make_scan_train_step and the chain
+        # stays unwrapped.
+        out = optax.MultiSteps(out, every_k_schedule=accum,
+                               use_grad_mean=grad_mean)
     return out
 
 
@@ -205,6 +216,108 @@ def make_git_train_step(mesh: Optional[Mesh] = None):
         return state, {"loss": loss, "grad_norm": gnorm}
 
     return _maybe_jit_sharded(step, mesh)
+
+
+def make_scan_train_step(k_micro: int, family: str = "classifier",
+                         n_options: int = 0,
+                         mesh: Optional[Mesh] = None,
+                         grad_mean: bool = True):
+    """One jitted call = ONE optimizer update over ``k_micro`` stacked
+    micro-batches (leading axis K on every batch leaf: (K, B, ...)).
+
+    Gradients accumulate in-jit via ``lax.scan`` with the exact Welford
+    running mean optax.MultiSteps uses (``acc + (g - acc)/(n+1)``), but
+    the optimizer chain — and its full moment-memory traffic — runs once
+    per K micros instead of every micro.  MultiSteps pays the whole
+    inner update each micro and discards K-1 of K results: measured
+    ~10% step-time waste at msvd_base shape (67.4 vs 61.4 ms/micro,
+    CLAUDE.md perf notes); the reference's configs accumulate 8-128
+    micros (configs/msvd_qa_base2.json "gradient_accumulation_steps").
+
+    Alignment contract with the MultiSteps path (tested in
+    tests/test_scan_accum.py):
+    - ``state.step`` keeps counting MICRO steps (advances by K per
+      call), so per-micro dropout rng folding, restorer save cadence
+      and resume micro-alignment are unchanged;
+    - the LR-schedule count (inner chain update count) advances once
+      per global step in both formulations;
+    - param trajectories match MultiSteps to float tolerance.
+    Divergence: ``grad_norm`` reports the norm of the ACCUMULATED mean
+    gradient (the quantity actually clipped/applied) rather than the
+    boundary micro's raw gradient; ``loss`` is the mean over the K
+    micros rather than the boundary micro's.
+
+    ``grad_mean=False`` SUMS micro-gradients instead — the reference's
+    exact live semantics (its per-micro ``loss.backward()`` never
+    divides by K, run_video_qa.py:490-509); pair with
+    ``--accum_grad_mean 0``'s MultiSteps(use_grad_mean=False) fallback.
+    """
+    assert k_micro >= 1
+    assert family in ("classifier", "git", "mc")
+
+    def forward_metrics(params, apply_fn, mb, rng):
+        if family == "git":
+            out = apply_fn(params, mb["text_input_ids"],
+                           mb["text_attention_mask"], mb["visual_inputs"],
+                           labels=mb["labels"], deterministic=False,
+                           rngs={"dropout": rng})
+            return out["loss"], {}
+        if family == "mc":
+            out = apply_fn(params, mb["text_input_ids"],
+                           mb["text_attention_mask"], mb["visual_inputs"],
+                           n_options, labels=mb["labels"],
+                           deterministic=False, rngs={"dropout": rng},
+                           method="multiple_choice")
+            preds = jnp.argmax(out["logits"], axis=-1)
+            return out["loss"], {
+                "acc_correct": (preds == mb["labels"]).sum(),
+                "acc_total": jnp.asarray(preds.shape[0])}
+        out = apply_fn(params, mb["text_input_ids"],
+                       mb["text_attention_mask"], mb["visual_inputs"],
+                       labels=mb["labels"], deterministic=False,
+                       rngs={"dropout": rng})
+        preds = jnp.argmax(out["logits"], axis=-1)
+        valid = mb["labels"] != -100
+        return out["loss"], {
+            "acc_correct": ((preds == mb["labels"]) & valid).sum(),
+            "acc_total": valid.sum()}
+
+    def step(state: TrainState, batch: Dict[str, Any], rng) -> Tuple:
+        def loss_fn(params, mb, r):
+            return forward_metrics(params, state.apply_fn, mb, r)
+
+        def micro(acc, xs):
+            mb, i = xs
+            # same per-micro rng stream as the MultiSteps path, where
+            # state.step itself advances every micro
+            r = jax.random.fold_in(rng, state.step + i)
+            (loss, m), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, mb, r)
+            if grad_mean:
+                acc = jax.tree_util.tree_map(
+                    lambda g, a: a + (g - a) / (i + 1).astype(g.dtype),
+                    grads, acc)
+            else:
+                acc = jax.tree_util.tree_map(jnp.add, grads, acc)
+            m = dict(m, loss=loss)
+            return acc, m
+
+        acc0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        acc_grads, ys = jax.lax.scan(
+            micro, acc0, (batch, jnp.arange(k_micro, dtype=jnp.int32)))
+        updates, new_opt = state.tx.update(acc_grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(step=state.step + k_micro,
+                              params=new_params, opt_state=new_opt)
+        metrics = {"loss": ys["loss"].mean(),
+                   "grad_norm": optax.global_norm(acc_grads)}
+        if "acc_correct" in ys:
+            metrics["acc_correct"] = ys["acc_correct"].sum()
+            metrics["acc_total"] = ys["acc_total"].sum()
+        return state, metrics
+
+    return _maybe_jit_sharded(step, mesh, micro_axis=True)
 
 
 def make_mc_train_step(n_options: int, mesh: Optional[Mesh] = None):
@@ -291,16 +404,22 @@ def make_git_eval_step(model, max_text_len: int = 50,
     return _maybe_jit_sharded(step, mesh, donate=False)
 
 
-def _maybe_jit_sharded(fn, mesh: Optional[Mesh], donate: bool = True):
-    """jit with batch-on-data sharding constraints when a mesh is given."""
+def _maybe_jit_sharded(fn, mesh: Optional[Mesh], donate: bool = True,
+                       micro_axis: bool = False):
+    """jit with batch-on-data sharding constraints when a mesh is given.
+
+    ``micro_axis``: batch leaves carry a leading (K,) micro axis (scan
+    accumulation) — the data axis is dim 1, so constrain P(None, 'data')
+    and leave the micro axis whole on every device."""
     if mesh is None:
         return jax.jit(fn, donate_argnums=(0,) if donate else ())
-    replicated = NamedSharding(mesh, P())
+    spec = P(None, "data") if micro_axis else P("data")
+    min_ndim = 2 if micro_axis else 1
 
     def wrapped(state, batch, *rest):
-        sharded = NamedSharding(mesh, P("data"))
+        sharded = NamedSharding(mesh, spec)
         batch = {k: jax.lax.with_sharding_constraint(v, sharded)
-                 if hasattr(v, "ndim") and v.ndim >= 1 else v
+                 if hasattr(v, "ndim") and v.ndim >= min_ndim else v
                  for k, v in batch.items()}
         return fn(state, batch, *rest)
 

@@ -195,6 +195,20 @@ def test_inference_from_saved_snapshot(synth, tmp_path):
     inf2 = main(["--task", "msvd_qa", "--config", cfg_path,
                  "--do_inference", "1"])
     assert inf2["val"] == trained["val"]
+    # --inference_split honored: 'val' evaluates ONLY val (no test eval)
+    # and predictions land on disk (reference configs/config.py:202-204)
+    assert inf2["test"] == {}
+    assert (tmp_path / "out" / "qa_results_val.json").exists()
+
+    # 'test' split: inference-db predictions without scoring (test data
+    # is assumed ground-truth-free)
+    inf3 = main(["--task", "msvd_qa", "--config", cfg_path,
+                 "--do_inference", "1", "--inference_split", "test"])
+    assert inf3["val"] == {} and inf3["test"] == {}
+    preds = json.loads(
+        (tmp_path / "out" / "qa_results_test.json").read_text())
+    assert preds and all("question_id" in r and "answer" in r
+                         for r in preds)
 
     # a missing step must fail loudly, not silently eval fresh params;
     # match the step number so an unrelated early crash can't satisfy

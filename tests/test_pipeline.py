@@ -197,3 +197,48 @@ def test_prefetcher_none_passthrough():
 
     arrays, host = next(iter(DevicePrefetcher(gen(), mesh=None)))
     assert arrays["labels"] is None
+
+
+def test_eval_batch_plan_fixed_shape_and_coverage():
+    """Every batch is EXACTLY global_bs rows (one compile); real rows
+    cover the dataset in order; tiled padding sits at the end; per-host
+    contiguous blocks partition each batch."""
+    from sasvqa_tpu.data.pipeline import eval_batch_plan
+    plans = list(eval_batch_plan(10, 4))
+    assert [len(p[0]) for p in plans] == [4, 4, 4]
+    assert [p[1] for p in plans] == [4, 4, 2]
+    covered = [i for p, n in plans for i in p[:n]]
+    assert covered == list(range(10))
+    # final batch tiles its real rows into the padding slots
+    assert plans[-1][0].tolist() == [8, 9, 8, 9]
+    # per-host blocks (pc=2) partition every batch
+    for p, _ in plans:
+        assert np.concatenate([p[0:2], p[2:4]]).tolist() == p.tolist()
+
+
+def test_eval_batch_plan_dataset_smaller_than_batch():
+    from sasvqa_tpu.data.pipeline import eval_batch_plan
+    plans = list(eval_batch_plan(3, 8))
+    assert len(plans) == 1
+    idx, n = plans[0]
+    assert n == 3 and len(idx) == 8
+    assert idx.tolist() == [0, 1, 2, 0, 1, 2, 0, 1]
+
+
+def test_shard_for_host_tiles_when_hosts_exceed_dataset():
+    """pc > n: np.resize tiling keeps per-host shards equal and
+    non-empty (torch DistributedSampler tiles the same way; ADVICE r2)."""
+    from sasvqa_tpu.data.pipeline import shard_for_host
+    idx = np.arange(3)
+    shards = [shard_for_host(idx, pi, 5) for pi in range(5)]
+    assert all(len(s) == 1 for s in shards)
+    assert sorted(int(s[0]) for s in shards) == [0, 0, 1, 1, 2]
+
+
+def test_fetch_replicated_single_process():
+    import jax
+    from sasvqa_tpu.parallel.mesh import fetch_replicated, make_mesh
+    mesh = make_mesh(devices=jax.devices("cpu")[:4])
+    x = jax.device_put(np.arange(8, dtype=np.int32))
+    out = fetch_replicated(x, mesh)
+    assert isinstance(out, np.ndarray) and out.tolist() == list(range(8))
