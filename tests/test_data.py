@@ -106,6 +106,30 @@ def test_git_collator_train_labels(synth):
     assert labels[-1] == tok.pad_token_id
 
 
+def test_git_collator_truncation_counted(synth, caplog):
+    """Over-long [CLS] q + ans + [SEP] sequences are clipped to the
+    max_seq_len bucket but COUNTED and warned — never silent answer-
+    supervision loss (VERDICT r2 weak #7; the reference's dynamic
+    padding never truncated the answer off)."""
+    import logging
+    ds = _make_dataset(synth)
+    tok = make_test_wordpiece()
+    col = GITCollator(tok, max_txt_len=12, max_seq_len=3, nframe=2,
+                      samp_policy="uniform", add_ans=True)
+    with caplog.at_level(logging.WARNING):
+        batch = col([ds.get_group(0)], rng=np.random.default_rng(0))
+    assert col.n_truncated >= 1
+    assert col.n_answer_lost >= 1          # 3-token bucket: [CLS] q q
+    assert any("truncated" in r.message for r in caplog.records)
+    assert batch["text_input_ids"].shape[1] == 3
+
+    # a roomy bucket never counts
+    col2 = GITCollator(tok, max_txt_len=12, max_seq_len=64, nframe=2,
+                       samp_policy="uniform", add_ans=True)
+    col2([ds.get_group(0)], rng=np.random.default_rng(0))
+    assert col2.n_truncated == 0 and col2.n_answer_lost == 0
+
+
 def test_git_collator_eval_prompts(synth):
     ds = _make_dataset(synth, is_train=False)
     tok = make_test_wordpiece()
@@ -159,3 +183,26 @@ def test_evaluate_qa_ignores_oov_gt():
     m = evaluate_qa(results, qid2data, ans2label, "msvd_qa")
     # denominator counts only in-vocab gts (reference :141-144)
     assert m["overall_acc"] == 1.0
+
+
+def test_pixel_staging_dtype(synth):
+    """--stage_pixels_bf16: collators emit bf16 pixel batches (half the
+    host->device bytes) when activations are bf16; f32 otherwise."""
+    import ml_dtypes
+    from sasvqa_tpu.core.config import ConfigDict
+    from sasvqa_tpu.data.dataset import make_collator, pixel_dtype_for
+    ds = _make_dataset(synth)
+    tok = make_test_wordpiece()
+    cfg = ConfigDict(max_txt_len=12, task="msvd_qa", nframe=2,
+                     samp_policy="uniform", bf16=True, stage_pixels_bf16=1)
+    assert pixel_dtype_for(cfg) == "bf16"
+    col = make_collator("clip", tok, cfg)
+    batch = col([ds.get_group(0)], rng=np.random.default_rng(0))
+    assert batch["visual_inputs"].dtype == ml_dtypes.bfloat16
+
+    cfg2 = ConfigDict(max_txt_len=12, task="msvd_qa", nframe=2,
+                      samp_policy="uniform", bf16=False)
+    assert pixel_dtype_for(cfg2) == "f32"
+    col2 = make_collator("git", tok, cfg2)
+    batch2 = col2([ds.get_group(0)], rng=np.random.default_rng(0))
+    assert batch2["visual_inputs"].dtype == np.float32
