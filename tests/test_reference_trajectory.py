@@ -1,0 +1,310 @@
+"""Composed-trajectory parity vs the ACTUAL PyTorch reference loop
+(VERDICT r2 missing #2 / next-round #3).
+
+Imports the reference's own modules read-only from /root/reference and
+composes them exactly as its hot loop does
+(src/tasks/run_video_qa.py:474-511):
+
+    VideoQADataset -> GITVideoQACollator -> MyGitForCausalLM forward
+    -> per-micro loss.backward() (gradients SUM over the window, no /K)
+    -> torch.optim.AdamW(params, lr) at the accumulation boundary
+       (torch defaults: betas (0.9, 0.999), eps 1e-8, uniform
+       weight_decay 0.01 — the live loop passes ONLY lr, :416-418)
+
+then replays the IDENTICAL batches through the rebuild's jitted
+scan-accumulation train step configured for the reference's exact live
+semantics (grad_mean=False, no clipping, no decay masking, constant
+LR), starting from converted identical weights.  Per-global-step mean
+losses and the final parameters must agree — this retires drift risk in
+any composed semantic: collator label masking, GIT image-prefix loss
+shift, accumulation boundary, optimizer step math.
+
+Environment shims (import-time only, no behavior touched): the
+reference's dead decode path imports ``av`` and its logger imports
+``tensorboardX`` — neither is installed, so stub modules satisfy the
+imports; its collator constructs a hub AutoProcessor (network) —
+patched to the local tokenizer.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+REF = "/root/reference"
+
+# model dims (tiny; CPU)
+H, HEADS, LAYERS, FF = 32, 4, 2, 64
+IMG, PATCH = 32, 16
+STORED_K, STRIDE = 8, 2           # their 'uniform' keeps K//stride = 4
+NFRAMES = STORED_K // STRIDE
+B, K_ACCUM, N_MICROS = 2, 2, 8
+LR = 1e-3
+
+
+def _import_reference():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    class _AttrDict(dict):
+        __getattr__ = dict.__getitem__
+        __setattr__ = dict.__setitem__
+
+    for name, attrs in [("av", {}),
+                        ("tensorboardX", {"SummaryWriter": object}),
+                        ("easydict", {"EasyDict": _AttrDict})]:
+        if name not in sys.modules:
+            import importlib.machinery
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            # libraries probe optional deps via find_spec(name); a stub
+            # without a __spec__ makes that raise instead of answering
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
+    from src.datasets import dataset_video_qa as ref_data
+    from src.modeling import modeling as ref_modeling
+    return ref_data, ref_modeling
+
+
+def _hf_tokenizer(tmp_path):
+    """Local BertTokenizer over the test WordPiece vocab (no network)."""
+    from transformers import BertTokenizer
+    from sasvqa_tpu.data.tokenization import make_test_wordpiece
+    tok = make_test_wordpiece()
+    by_id = sorted(tok.vocab.items(), key=lambda kv: kv[1])
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(w for w, _ in by_id) + "\n")
+    return BertTokenizer(vocab_file=str(vocab_file)), len(by_id)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    import torch
+    from sasvqa_tpu.data.annotations import (build_common_answer_dict,
+                                             group_datalist, load_datalist)
+    from sasvqa_tpu.data.frame_store import load_vidmapping
+    from sasvqa_tpu.data.synthetic import make_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("refparity")
+    paths = make_synthetic_dataset(str(root / "data"), num_videos=4,
+                                   stored_frames=STORED_K, img_hw=IMG,
+                                   questions_per_video=2)
+    ref_data, ref_modeling = _import_reference()
+    hf_tok, vocab_size = _hf_tokenizer(root)
+
+    datalist = load_datalist("msvd_qa", paths["train"])
+    grouped = group_datalist(datalist, max_n_example_per_group=1,
+                             is_train=True)
+    ans2label = build_common_answer_dict((paths["train"],), 1000)
+    vid2id = load_vidmapping(paths["vidmapping"])
+
+    ds = ref_data.VideoQADataset(
+        task_type="msvd_qa", datalist=grouped, tokenizer=hf_tok,
+        img_hdf5_dir=paths["h5"], ans2label=ans2label, vid2id=vid2id,
+        return_label=True, is_train=True)
+
+    # their collator builds a hub AutoProcessor for left-padded eval
+    # prompts in __init__ (network); train never uses it
+    orig = ref_data.AutoProcessor.from_pretrained
+    ref_data.AutoProcessor.from_pretrained = staticmethod(
+        lambda *a, **k: hf_tok)
+    try:
+        collator = ref_data.GITVideoQACollator(
+            processor=hf_tok, max_length=20, task_type="msvd_qa",
+            nframe=STRIDE, samp_policy="uniform", img_size=IMG,
+            add_ans=True)
+    finally:
+        ref_data.AutoProcessor.from_pretrained = orig
+
+    # deterministic batch stream, cycled like InfiniteIterator over an
+    # unshuffled DataLoader
+    base = [collator.collate_batch([ds[i] for i in idx])
+            for idx in (range(0, 2), range(2, 4))]
+    batches = [base[i % len(base)] for i in range(N_MICROS)]
+
+    from transformers import GitConfig, GitVisionConfig
+    vision = GitVisionConfig(hidden_size=H, intermediate_size=FF,
+                             num_hidden_layers=LAYERS,
+                             num_attention_heads=HEADS,
+                             image_size=IMG, patch_size=PATCH)
+    git_cfg = GitConfig(vocab_size=vocab_size, hidden_size=H,
+                        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+                        intermediate_size=FF, max_position_embeddings=64,
+                        vision_config=vision.to_dict(),
+                        num_image_with_embedding=NFRAMES,
+                        hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    model = ref_modeling.MyGitForCausalLM(git_cfg)
+    model.train()
+    return model, git_cfg, batches, vocab_size
+
+
+def _run_reference(model, batches):
+    """The live loop's exact optimizer composition (:416-418, :474-511):
+    plain AdamW(lr) over all params, grads summed across the window."""
+    import copy
+    import torch
+    model = copy.deepcopy(model)
+    opt = torch.optim.AdamW([p for p in model.parameters()
+                             if p.requires_grad], lr=LR)
+    losses = []
+    opt.zero_grad()
+    for step, batch in enumerate(batches):
+        out = model(input_ids=batch["text_input_ids"],
+                    attention_mask=batch["text_attention_mask"],
+                    pixel_values=batch["visual_inputs"].float(),
+                    labels=batch["labels"])
+        loss = out.loss.mean()
+        loss.backward()
+        losses.append(float(loss.item()))
+        if (step + 1) % K_ACCUM == 0:
+            opt.step()
+            opt.zero_grad()
+    return losses, model.state_dict()
+
+
+def _to_ours(batch):
+    """reference batch dict -> rebuild batch dict (NCHW -> NHWC)."""
+    return {
+        "text_input_ids": batch["text_input_ids"].numpy().astype(np.int32),
+        "text_attention_mask":
+            batch["text_attention_mask"].numpy().astype(np.int32),
+        "labels": batch["labels"].numpy().astype(np.int32),
+        "visual_inputs": batch["visual_inputs"].float().numpy()
+            .transpose(0, 1, 3, 4, 2).astype(np.float32),
+    }
+
+
+def _fx_model(vocab_size):
+    from sasvqa_tpu.models.clip import CLIPVisionConfig as FxV
+    from sasvqa_tpu.models.git import GITConfig, GITForCausalLM
+    # dropout 0 on both sides: cross-framework rng streams can't match,
+    # so determinism comes from disabling the only stochastic op
+    cfg = GITConfig(
+        vocab_size=vocab_size, hidden_size=H, num_layers=LAYERS,
+        num_heads=HEADS, intermediate_size=FF, max_position_embeddings=64,
+        sep_token_id=3, dropout=0.0,
+        vision=FxV(hidden_size=H, intermediate_size=FF, num_layers=LAYERS,
+                   num_heads=HEADS, image_size=IMG, patch_size=PATCH))
+    return GITForCausalLM(cfg)   # dtype f32 to match the torch side
+
+
+def _run_rebuild(state_dict, batches, vocab_size):
+    from sasvqa_tpu.core.config import ConfigDict
+    from sasvqa_tpu.data.pipeline import stack_microbatches
+    from sasvqa_tpu.models.convert import convert_git
+    from sasvqa_tpu.train import steps as ts
+
+    fx = _fx_model(vocab_size)
+    params = {"params": convert_git(state_dict, LAYERS, LAYERS)}
+    # the live reference optimizer: AdamW(lr) only — torch defaults
+    # betas (0.9, 0.999), eps 1e-8, weight_decay 0.01 on ALL params
+    # (params=None skips the rebuild's decay masking), no clipping,
+    # constant LR, grads SUMMED over the window
+    cfg = ConfigDict(optim="adamw", learning_rate=LR, decay="constant",
+                     weight_decay=0.01, grad_norm=-1, num_train_epochs=1,
+                     gradient_accumulation_steps=K_ACCUM, scan_accum=1,
+                     accum_grad_mean=0, betas=[0.9, 0.999])
+    tx = ts.make_optimizer(cfg, total_steps=100, params=None)
+    state = ts.TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=tx.init(params), tx=tx,
+                          apply_fn=fx.apply)
+    step_fn = ts.make_scan_train_step(K_ACCUM, "git", grad_mean=False)
+    losses = []
+    for sb in stack_microbatches(iter(map(_to_ours, batches)), K_ACCUM):
+        state, metrics = step_fn(state, sb, jax.random.key(0))
+        losses.append(float(metrics["loss"]))
+    return losses, state.params
+
+
+def test_reference_loop_trajectory_parity(setup):
+    model, git_cfg, batches, vocab_size = setup
+    ref_losses, ref_final = _run_reference(model, batches)
+    our_losses, our_final = _run_rebuild(
+        {k: v.clone() for k, v in model.state_dict().items()},
+        batches, vocab_size)
+
+    # per-global-step mean loss (the scan step reports the window mean)
+    ref_means = [float(np.mean(ref_losses[i:i + K_ACCUM]))
+                 for i in range(0, N_MICROS, K_ACCUM)]
+    assert len(our_losses) == len(ref_means) == N_MICROS // K_ACCUM
+    np.testing.assert_allclose(our_losses, ref_means, rtol=2e-4,
+                               atol=2e-5)
+
+    # final params agree after 4 optimizer steps
+    from sasvqa_tpu.models.convert import convert_git
+    ref_final_fx = {"params": convert_git(ref_final, LAYERS, LAYERS)}
+    flat_ref = jax.tree_util.tree_leaves(ref_final_fx)
+    flat_our = jax.tree_util.tree_leaves(our_final)
+    assert len(flat_ref) == len(flat_our)
+    for a, b in zip(flat_ref, flat_our):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-5)
+
+
+def test_reference_collator_vs_rebuild_collator(setup):
+    """Our GITCollator reproduces the reference GITVideoQACollator's
+    arrays on the same items (valid region; ours pads to a fixed
+    bucket, theirs to the batch longest)."""
+    model, git_cfg, batches, vocab_size = setup
+    ref_batch = batches[0]
+    ref_ids = ref_batch["text_input_ids"].numpy()
+    ref_mask = ref_batch["text_attention_mask"].numpy()
+    ref_labels = ref_batch["labels"].numpy()
+    Lr = ref_ids.shape[1]
+
+    from sasvqa_tpu.data.annotations import (build_common_answer_dict,
+                                             group_datalist, load_datalist)
+    # rebuild side: same items through our dataset/collator
+    # (fixture state lives in the reference dataset; rebuild mirrors it)
+    # -> reuse the reference dataset's datalist via our own classes
+    import sasvqa_tpu.data.dataset as dd
+    from sasvqa_tpu.data.frame_store import (FrameStoreReader,
+                                             load_vidmapping)
+    from sasvqa_tpu.data.tokenization import make_test_wordpiece
+
+    # the synthetic fixture paths are recoverable from the reference ds
+    # via the batches' provenance; simplest is to rebuild from scratch
+    # with the same seed/layout
+    from sasvqa_tpu.data.synthetic import make_synthetic_dataset
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        paths = make_synthetic_dataset(td + "/data", num_videos=4,
+                                       stored_frames=STORED_K, img_hw=IMG,
+                                       questions_per_video=2)
+        datalist = load_datalist("msvd_qa", paths["train"])
+        grouped = group_datalist(datalist, max_n_example_per_group=1,
+                                 is_train=True)
+        ans2label = build_common_answer_dict((paths["train"],), 1000)
+        ds = dd.VideoQADataset("msvd_qa", grouped,
+                               FrameStoreReader(paths["h5"]),
+                               load_vidmapping(paths["vidmapping"]),
+                               ans2label, return_label=True, is_train=True)
+        col = dd.GITCollator(make_test_wordpiece(), max_txt_len=20,
+                             max_seq_len=24, task_type="msvd_qa",
+                             nframe=STRIDE, samp_policy="uniform",
+                             add_ans=True)
+        ours = col([ds.get_group(0), ds.get_group(1)],
+                   rng=np.random.default_rng(0))
+
+    assert ours["text_input_ids"].shape[1] >= Lr
+    np.testing.assert_array_equal(ours["text_input_ids"][:, :Lr], ref_ids)
+    np.testing.assert_array_equal(ours["text_attention_mask"][:, :Lr],
+                                  ref_mask)
+    # past the reference's longest everything is padding on our side
+    assert (ours["text_attention_mask"][:, Lr:] == 0).all()
+    # label masking parity on supervised (non-pad) positions
+    sup = ref_mask == 1
+    np.testing.assert_array_equal(ours["labels"][:, :Lr][sup],
+                                  ref_labels[sup])
+    # frames: same uniform-stride selection, NHWC vs NCHW
+    ref_vis = ref_batch["visual_inputs"].float().numpy()
+    np.testing.assert_allclose(
+        ours["visual_inputs"],
+        ref_vis.transpose(0, 1, 3, 4, 2), rtol=1e-6, atol=1e-6)
