@@ -267,3 +267,31 @@ def test_auto_resume_from_restore_checkpoint(synth, tmp_path):
     leaf1 = jax.tree_util.tree_leaves(state.params)[0]
     leaf2 = jax.tree_util.tree_leaves(state2.params)[0]
     np.testing.assert_array_equal(np.asarray(leaf1), np.asarray(leaf2))
+
+
+def test_resume_aligns_scan_micro_counter(synth, tmp_path):
+    """Scan accumulation: a resumed run picks up the MICRO counter from
+    the restore checkpoint (state.step advances by K per global step)
+    and trains forward instead of restarting — the alignment contract
+    from train/steps.make_scan_train_step."""
+    import json as _json
+    from sasvqa_tpu.tasks.run_video_qa import main
+
+    cfg_path = _write_config(
+        tmp_path, synth,
+        {"pretrained_model": "tiny-clip", "vocab_size": 512},
+        num_train_epochs=2)   # 2 global steps of K=2 micros
+
+    r1 = main(["--task", "msvd_qa", "--config", cfg_path])
+    assert r1["global_step"] == 2
+
+    # same output_dir + doubled epochs: restore.pt holds micro=4 ->
+    # global_step resumes at 2 and runs to 4, never re-running 0-2
+    r2 = main(["--task", "msvd_qa", "--config", cfg_path,
+               "--num_train_epochs", "4"])
+    assert r2["global_step"] == 4
+    # scalars show training continued at step 3, not a restart at 1
+    steps = [_json.loads(l)["step"]
+             for l in (tmp_path / "out" / "log" / "scalars.jsonl")
+             .read_text().splitlines() if "train/loss" in l]
+    assert 3 in steps and 4 in steps
