@@ -312,7 +312,26 @@ def start_training(cfg) -> Dict[str, Any]:
         output_dir,
         save_steps=max(int(cfg.save_steps_ratio * cfg.num_train_steps
                            * cfg.gradient_accumulation_steps), 1))
+    resumed = restorer.restore_step > 0
     state = restorer.restore_into(state)
+    if resumed:
+        # orbax restores every leaf COMMITTED to its template sharding;
+        # scalar/opt leaves come back committed to ONE device, and jit
+        # refuses to mix them with batches sharded across the mesh
+        # ("incompatible devices", caught by
+        # tests/test_e2e_train.py::test_resume_aligns_scan_micro_counter).
+        # Re-place: leaves that carry a mesh sharding (TP/fsdp params)
+        # keep it; everything else replicates over the mesh.
+        from jax.sharding import NamedSharding
+        from sasvqa_tpu.parallel.mesh import replicated
+        rep = replicated(mesh)
+
+        def replace(x):
+            sh = getattr(x, "sharding", None)
+            return jax.device_put(
+                x, sh if isinstance(sh, NamedSharding) else rep)
+
+        state = jax.tree_util.tree_map(replace, state)
 
     # --do_inference evaluates a trained eval snapshot: restore
     # ckpt/model_step_{N} (or the latest one) into state.params.  This is
@@ -496,7 +515,13 @@ def start_training(cfg) -> Dict[str, Any]:
         if use_scan:
             from sasvqa_tpu.data.pipeline import stack_microbatches
             source = stack_microbatches(source, accum)
-        prefetch = DevicePrefetcher(source, mesh=mesh, micro_axis=use_scan)
+        # a K-stacked batch is K× the device bytes (msvd_qa_base2's
+        # K=128 stack is ~0.9 GB); depth 2 would pin ~3 stacked batches
+        # in HBM.  depth 1 still overlaps staging with the (K-micro-
+        # long) step — one batch computing, one staging.
+        depth = 1 if use_scan and accum >= 16 else 2
+        prefetch = DevicePrefetcher(source, mesh=mesh, micro_axis=use_scan,
+                                    depth=depth)
     # --profile_steps: device-trace a window of steps after compile.
     # The start is relative to THIS invocation's first step (resumed
     # runs begin at start global_step, not 0)
