@@ -70,9 +70,16 @@ class VideoQADataset:
         try:
             frames = self.store.read_nhwc(self.vid2id[vid])  # (K, H, W, 3)
         except (KeyError, OSError) as e:
-            if _retries <= 0:
+            # substitution is a TRAIN-only recovery: the eval loop
+            # attributes predictions by batch-plan position (multi-host
+            # hosts can't see each other's substitutions), so a silent
+            # swap would score the substitute's answer against the
+            # original question's ground truth.  Eval fails fast instead.
+            if _retries <= 0 or not self.is_train:
                 raise RuntimeError(
-                    f"failed to fetch video {vid!r} after retries") from e
+                    f"failed to fetch video {vid!r}"
+                    + ("" if self.is_train else
+                       " (eval never substitutes — fix the store)")) from e
             from sasvqa_tpu.core.logging import LOGGER
             import random as _random
             LOGGER.warning(f"failed to load video {vid!r} ({e}); "
@@ -240,8 +247,10 @@ class GITCollator:
                     self.n_truncated += 1
                     # positions < len(q_ids) are label-masked, so when
                     # the question alone fills the bucket the example
-                    # contributes ZERO answer supervision
-                    if len(q_ids) + 1 >= l:
+                    # contributes ZERO answer supervision (at
+                    # len(q_ids) == l-1 the first answer token still
+                    # lands supervised at position l-1)
+                    if len(q_ids) >= l:
                         self.n_answer_lost += 1
                     if self.n_truncated in (1, 10, 100) \
                             or self.n_truncated % 1000 == 0:

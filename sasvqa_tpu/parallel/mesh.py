@@ -71,6 +71,13 @@ def shard_batch(batch: Any, mesh: Mesh, micro_axis: bool = False) -> Any:
                     sharding, np.asarray(x))
             return jax.device_put(x, sharding)
         if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            # a sub-micro-rank leaf in a stacked batch would be
+            # PER-HOST data; replicating it multi-host would silently
+            # diverge across processes — refuse rather than guess
+            if multihost:
+                raise ValueError(
+                    f"cannot shard rank-{x.ndim} leaf in micro_axis "
+                    f"mode on a multi-host mesh; stack it to (K, ...)")
             return jax.device_put(x, NamedSharding(mesh, P()))
         return x
 
@@ -140,6 +147,17 @@ def fetch_params_for_save(params: Any, mesh: Optional[Mesh]) -> Any:
     return jax.device_get(params)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _replicator(mesh: Mesh):
+    # cached per mesh: a fresh jax.jit per call would never hit the jit
+    # cache and retrace the identity all-gather for every eval batch
+    rep = NamedSharding(mesh, P())
+    return jax.jit(lambda a: a, out_shardings=rep)
+
+
 def fetch_replicated(x: Any, mesh: Optional[Mesh]) -> np.ndarray:
     """Host copy of a (possibly cross-host-sharded) array.
 
@@ -149,8 +167,7 @@ def fetch_replicated(x: Any, mesh: Optional[Mesh]) -> np.ndarray:
     to give all hosts identical per-batch outputs (predictions are tiny:
     ints/logit rows, never activations)."""
     if mesh is not None and jax.process_count() > 1:
-        rep = NamedSharding(mesh, P())
-        x = jax.jit(lambda a: a, out_shardings=rep)(x)
+        x = _replicator(mesh)(x)
     return np.asarray(x)
 
 

@@ -173,7 +173,15 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
         # outcome: its random-substitution-on-error would otherwise
         # pick DIFFERENT videos per clip
         items = [dataset.get_group(int(i)) for i in local_idx]
-        batch = stage(collator(items, rng=eval_rng))
+        raw = collator(items, rng=eval_rng)
+        # positional attribution contract: collated order must match the
+        # batch plan (get_group never substitutes groups in eval mode —
+        # data/dataset.py — so a mismatch here is a plumbing bug)
+        expected = [e["question_id"] for i in local_idx
+                    for e in dataset.datalist[int(i)][1]]
+        assert raw.get("question_ids") == expected, \
+            "eval prediction attribution drift"
+        batch = stage(raw)
         if family == "git":
             generated = fetch_replicated(eval_step(state, batch), mesh)
             preds, strs = decode_answers(tokenizer, generated[:n_real],
