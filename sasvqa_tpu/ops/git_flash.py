@@ -11,9 +11,23 @@ reconstruct the mask from a (B, S) column-validity vector + index
 arithmetic inside VMEM and run the standard flash recurrences:
 
 - forward: online softmax, emits the output and the per-row logsumexp;
-- backward: two passes sharing the forward's LSE —
-  dQ over query blocks, dK/dV over key blocks — with
-  ``dS = P * (dO V^T - rowsum(dO*O))``; no S x S tensor ever exists.
+- backward (default, fused single pass): one kernel over key blocks
+  whose inner loop over query blocks recomputes each (BQ, BK) score
+  block ONCE and emits all three gradients — dK/dV accumulate locally,
+  dQ accumulates across the key-block grid dimension through an output
+  block whose index map ignores it (Mosaic keeps a revisited output
+  block in VMEM, so the f32 read-modify-write is free until the row
+  flushes).  ``dS = P * (dO V^T - rowsum(dO*O))``; no S x S tensor ever
+  exists.  5 S^2-matmuls per block pair vs the split formulation's 7
+  (a separate dQ pass re-runs QK^T and dO V^T), and the mask + exp
+  VPU work runs once instead of twice — measured 1.13x on the 6-layer
+  flagship-shape fwd+bwd with all three gradients live (65.9 -> 58.2
+  ms; set ``FUSED_BWD = False`` for the split kernels).  CAUTION when
+  re-measuring: if k/v are closed-over constants XLA dead-code-
+  eliminates the split path's entire dKV kernel but cannot strip the
+  fused kernel's dK/dV matmuls, which makes the split path look ~1.5x
+  FASTER than fused on a dq-only probe while being 1.13x slower on the
+  gradients training actually needs.
 
 Mask arithmetic is all-f32 (Mosaic rejects i1 vector logic ops).
 """
@@ -249,6 +263,63 @@ def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _fused_bwd_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+                      lse_ref, dq_ref, dk_ref, dv_ref, *, bq: int,
+                      scale: float, num_img: int, col_base: int,
+                      mask: bool):
+    """grid = (B*H, nk): all three gradients in one pass per key block.
+
+    dq_ref is the full (1, s_pad, Dh) f32 row whose index map ignores
+    the key-block grid dim — revisited across programs of one (b, h)
+    row, so ``+=`` accumulates in VMEM and spills to HBM once per row.
+    The scale is folded into the bf16 cast of dS (exact when Dh is a
+    power of two — scale is then a power of two; all shipped configs
+    have Dh=64) so neither dQ nor dK needs a post-loop rescale that a
+    cross-program accumulator could not express."""
+    ki = pl.program_id(1)
+    bk = k_ref.shape[1]
+    k = k_ref[0]                                       # (BK, Dh) bf16
+    v = v_ref[0]
+    lq = q_ref.shape[1]
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * bq, bq), :]
+        do = do_ref[0, pl.ds(i * bq, bq), :]
+        o = o_ref[0, pl.ds(i * bq, bq), :]
+        lse = lse_ref[0, 0, pl.ds(i * bq, bq)]         # (BQ,)
+        d_row = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if mask:
+            s = _mask_block(s, i * bq, col_base + ki * bk, colmask_ref,
+                            num_img)
+        p = jnp.exp(s - lse[:, None])                  # (BQ, BK)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (BK, Dh)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - d_row[:, None]) * scale).astype(q.dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (BK, Dh)
+        dq_ref[0, pl.ds(i * bq, bq), :] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (BQ, Dh)
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((bk, k.shape[1]), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, lq // bq, body, (z, z))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
 def _prepare(q, k, v, attention_mask, num_img, bq, bk):
     b, h, s, dh = q.shape
     # pad to a multiple of BOTH blocks: the grids floor-divide s_pad by
@@ -312,7 +383,81 @@ def _forward(q, k, v, attention_mask, num_img, bq, bk):
                                                        out, lse, s_pad)
 
 
+# Fused single-pass backward (default).  The split two-pass kernels are
+# kept selectable for A/B measurement and as a fallback if a future
+# shape's fused VMEM footprint regresses.
+FUSED_BWD = True
+
+
 def _backward(res, g, num_img, bq, bk, b, h, s, dh):
+    fn = _backward_fused if FUSED_BWD else _backward_split
+    return fn(res, g, num_img, bq, bk, b, h, s, dh)
+
+
+def _backward_fused(res, g, num_img, bq, bk, b, h, s, dh):
+    qp, kp, vp, colmask, outp, lse, s_pad = res
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+                 ).reshape(b * h, s_pad, dh)
+
+    full = lambda: pl.BlockSpec((1, s_pad, dh),
+                                lambda bh_i, i: (bh_i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    cm_spec = pl.BlockSpec((1, 1, s_pad), lambda bh_i, i, h=h:
+                           (bh_i // h, 0, 0), memory_space=pltpu.VMEM)
+    lse_full = pl.BlockSpec((1, 1, s_pad), lambda bh_i, i: (bh_i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    nk = s_pad // bk
+    nk_free = _n_unmasked_blocks(num_img, bk, nk)
+
+    def fused_call(n_blocks, col_base, mask):
+        kblk_in = lambda: pl.BlockSpec(
+            (1, bk, dh),
+            lambda bh_i, i, o=col_base // bk: (bh_i, i + o, 0),
+            memory_space=pltpu.VMEM)
+        kblk_out = lambda: pl.BlockSpec(
+            (1, bk, dh), lambda bh_i, i: (bh_i, i, 0),
+            memory_space=pltpu.VMEM)
+        # dq: full-row block, index map ignores the key grid dim — the
+        # cross-program accumulator (kernel docstring)
+        dq_spec = pl.BlockSpec((1, s_pad, dh), lambda bh_i, i: (bh_i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_fused_bwd_kernel, bq=bq, scale=dh ** -0.5,
+                              num_img=num_img, col_base=col_base,
+                              mask=mask),
+            grid=(b * h, n_blocks),
+            in_specs=[cm_spec, full(), kblk_in(), kblk_in(), full(),
+                      full(), lse_full],
+            out_specs=(dq_spec, kblk_out(), kblk_out()),
+            out_shape=(
+                jax.ShapeDtypeStruct((b * h, s_pad, dh), jnp.float32),
+                jax.ShapeDtypeStruct((b * h, n_blocks * bk, dh), kp.dtype),
+                jax.ShapeDtypeStruct((b * h, n_blocks * bk, dh), vp.dtype)),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * b * h * s_pad * n_blocks * bk * dh,
+                bytes_accessed=5 * b * h * s_pad * dh * 2,
+                transcendentals=b * h * s_pad * n_blocks * bk,
+            ),
+            interpret=_INTERPRET,
+        )(colmask, qp, kp, vp, gp, outp, lse)
+
+    if 0 < nk_free < nk:
+        dq_a, dk_a, dv_a = fused_call(nk_free, 0, mask=False)
+        dq_b, dk_b, dv_b = fused_call(nk - nk_free, nk_free * bk,
+                                      mask=True)
+        dq = (dq_a + dq_b).astype(qp.dtype)
+        dk = jnp.concatenate([dk_a, dk_b], axis=1)
+        dv = jnp.concatenate([dv_a, dv_b], axis=1)
+    else:
+        dq, dk, dv = fused_call(nk, 0, mask=True)
+        dq = dq.astype(qp.dtype)
+
+    unpad = lambda x: x.reshape(b, h, s_pad, dh)[:, :, :s, :]
+    return unpad(dq), unpad(dk), unpad(dv)
+
+
+def _backward_split(res, g, num_img, bq, bk, b, h, s, dh):
     qp, kp, vp, colmask, outp, lse, s_pad = res
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
                  ).reshape(b * h, s_pad, dh)

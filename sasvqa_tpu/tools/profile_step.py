@@ -13,13 +13,13 @@ Usage:  python -m sasvqa_tpu.tools.profile_step [--iters 8]
 Probes (fwd+bwd where marked):
   step        full train step (fwd+bwd+adamw)         -- the bench number
   vis_tower   vision encoder on 128 images            (fwd+bwd)
-  vis_attn    12x vision attention block S=197        (fwd+bwd)
-  vis_mlp     12x vision MLP block                    (fwd+bwd)
-  txt_stack   6x GIT text layers S=1608, flash mask   (fwd+bwd)
-  txt_flash   6x git_flash_attention alone S=1608     (fwd+bwd)
-  txt_mlp     6x text MLP block                       (fwd+bwd)
+  vis_attn    12x vision attention block S=197        (fwd+bwd, q/k/v grads)
+  txt_flash   6x git_flash_attention alone S=1608     (fwd+bwd, q/k/v grads)
+  txt_stack   6x GIT text layers S=1608, flash mask   (fwd+bwd, +param grads)
   logits      vocab projection + CE on text positions (fwd+bwd)
-  adamw       optimizer update alone
+  adamw       optimizer update alone (full param tree)
+  embed       word+pos embedding gather               (fwd+bwd)
+  mm_768      dense-matmul ceiling probe at K=768
 """
 
 from __future__ import annotations
@@ -133,34 +133,45 @@ def main():
     k = jnp.asarray(rng.normal(size=(B * T, HEADS, P_TOK, DH)), dt)
     v = jnp.asarray(rng.normal(size=(B * T, HEADS, P_TOK, DH)), dt)
 
-    def vis_attn(q, k, v):
+    def vis_attn(carry):
+        # carry ALL THREE tensors and apply all three grads: a carry of
+        # q alone lets XLA dead-code-eliminate the dK/dV computation
+        # (measured: it strips the split-backward's whole dKV kernel),
+        # silently timing a fraction of the real backward
+        q, k, v = carry
         def f(q, k, v):
             o = q
             for _ in range(VIS_LAYERS):
                 o = dot_product_attention(o, k, v)
             return (o.astype(jnp.float32) ** 2).mean()
         g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
-        return q - 1e-6 * g[0]
+        return (q - 1e-6 * g[0], k - 1e-6 * g[1], v - 1e-6 * g[2])
 
-    attn_tflop = VIS_LAYERS * 2.5 * 4 * B * T * HEADS * P_TOK * P_TOK * DH / 1e12
-    timed(vis_attn, (q,) + (k, v), it, "vis_attn", tflop=attn_tflop)
+    # 3.0x fwd matmul flops: this short-seq path is XLA dense attention
+    # (stored P), fwd 2 + bwd 4 matmuls.  (The old 2.5x went with the
+    # dq-only carry that let XLA strip the dK/dV work.)
+    attn_tflop = VIS_LAYERS * 3.0 * 4 * B * T * HEADS * P_TOK * P_TOK * DH / 1e12
+    timed(vis_attn, ((q, k, v),), it, "vis_attn", tflop=attn_tflop)
 
     # ---- text flash attention (6 layers' worth) ------------------------
     qt = jnp.asarray(rng.normal(size=(B, HEADS, S, DH)), dt)
     kt = jnp.asarray(rng.normal(size=(B, HEADS, S, DH)), dt)
     vt = jnp.asarray(rng.normal(size=(B, HEADS, S, DH)), dt)
 
-    def txt_flash(qt, kt, vt):
+    def txt_flash(carry):
+        qt, kt, vt = carry                  # all grads live (see vis_attn)
         def f(qt, kt, vt):
             o = qt
             for _ in range(TXT_LAYERS):
                 o = git_flash_attention(o, kt, vt, mask, M)
             return (o.astype(jnp.float32) ** 2).mean()
         g = jax.grad(f, argnums=(0, 1, 2))(qt, kt, vt)
-        return qt - 1e-6 * g[0]
+        return (qt - 1e-6 * g[0], kt - 1e-6 * g[1], vt - 1e-6 * g[2])
 
-    flash_tflop = TXT_LAYERS * 2.5 * 4 * B * HEADS * S * S * DH / 1e12
-    timed(txt_flash, (qt,) + (kt, vt), it, "txt_flash", tflop=flash_tflop)
+    # 3.5x fwd matmul flops: fused flash bwd = recompute QK + 4 grad
+    # matmuls (git_flash._fused_bwd_kernel), fwd 2 — 7 total
+    flash_tflop = TXT_LAYERS * 3.5 * 4 * B * HEADS * S * S * DH / 1e12
+    timed(txt_flash, ((qt, kt, vt),), it, "txt_flash", tflop=flash_tflop)
 
     # ---- text layer stack (6 GIT layers incl. flash) --------------------
     lyr = GitLayer(GIT_BASE, dtype=dt)
@@ -170,17 +181,61 @@ def main():
     lparams = jax.jit(lambda k, h, m: lyr.init(k, h, None, True, None,
                                                (M, m)))(key, h0, mask)
 
-    def txt_stack(h, lp):
-        def f(h):
+    def txt_stack(carry):
+        h, lp = carry
+        def f(h, lp):
             o = h
             for _ in range(TXT_LAYERS):
                 o = lyr.apply(lp, o, git_mask=(M, mask))
             return (o.astype(jnp.float32) ** 2).mean()
-        return h - 1e-6 * jax.grad(f)(h)
+        # grads wrt params too: a real step computes the dW matmuls
+        gh, glp = jax.grad(f, argnums=(0, 1))(h, lp)
+        return (h - 1e-6 * gh,
+                jax.tree_util.tree_map(lambda a, g: a - 1e-6 * g, lp, glp))
 
     # 6 layers x (4 proj DxD + MLP 2x D x 4D) x 2 FLOP x tokens, x3 fwd+bwd
     txt_tflop = TXT_LAYERS * 3 * (4 * D * D + 2 * D * 4 * D) * 2 * B * S / 1e12
-    timed(txt_stack, (h0, lparams), it, "txt_stack", tflop=txt_tflop)
+    timed(txt_stack, ((h0, lparams),), it, "txt_stack", tflop=txt_tflop)
+
+    # ---- logits + CE tail (vocab proj on text positions, fwd+bwd) -------
+    V = GIT_BASE.vocab_size
+    ht = jnp.asarray(rng.normal(size=(B, L, D)), dt)
+    wv = jnp.asarray(rng.normal(size=(D, V)) * 0.02, dt)
+
+    def logits_probe(carry):
+        ht, wv = carry
+        def f(ht, wv):
+            sh = (ht[:, :-1, :] @ wv).astype(jnp.float32)
+            tgt = labels[:, 1:]
+            valid = tgt != -100
+            lp = jax.nn.log_softmax(sh, axis=-1)
+            nll = -jnp.take_along_axis(
+                lp, jnp.where(valid, tgt, 0)[..., None], axis=-1)[..., 0]
+            return (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
+        gh, gw = jax.grad(f, argnums=(0, 1))(ht, wv)
+        return (ht - 1e-6 * gh, wv - 1e-6 * gw)
+
+    logit_tflop = 3 * 2 * B * (L - 1) * D * V / 1e12
+    timed(logits_probe, ((ht, wv),), it * 4, "logits", tflop=logit_tflop)
+
+    # ---- optimizer update alone (full GIT-base param tree) ---------------
+    def adamw_probe(carry):
+        p, o = carry
+        grads = jax.tree_util.tree_map(lambda a: a * 1e-3, p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o
+
+    timed(adamw_probe, ((params, opt_state),), it * 4, "adamw")
+
+    # ---- embeddings tail: word+pos gather (fwd+bwd wrt the table) --------
+    def embed_probe(emb):
+        def g(emb):
+            x = emb[ids] + emb[:L]
+            return (x.astype(jnp.float32) ** 2).mean()
+        return emb - 1e-6 * jax.grad(g)(emb)
+
+    emb_tbl = jnp.asarray(rng.normal(size=(V, D)), dt)
+    timed(embed_probe, (emb_tbl,), it * 4, "embed")
 
     # ---- matmul ceiling probe (same token count, K=768) ------------------
     x = jnp.asarray(rng.normal(size=(B * S, D)), dt)
