@@ -384,13 +384,32 @@ def _forward(q, k, v, attention_mask, num_img, bq, bk):
 
 
 # Fused single-pass backward (default).  The split two-pass kernels are
-# kept selectable for A/B measurement and as a fallback if a future
-# shape's fused VMEM footprint regresses.
+# kept selectable for A/B measurement and serve as the fallback when the
+# fused kernel's VMEM footprint would not fit.
 FUSED_BWD = True
+
+# Scoped-VMEM budget for the fused kernel's estimated footprint.  The
+# estimate has two terms: the body's live (bq, bk) temporaries (s/p/dp
+# f32 + ds bf16 = 14 B/elem) and the full-row buffers (q/do/o bf16
+# double-buffered + dq f32 + lse ≈ 16 B per s_pad*dh elem).  Calibrated
+# by compile probes on the v5e (r3), all at 896x896 blocks, realistic
+# b*h grids: s_pad 1792 (est 12.5 MiB) and 2688 (13.34 MiB) COMPILE,
+# 3584 (est 14.22 MiB; actual scoped 17.48M vs the 16 MiB hardware
+# limit) and 4480 (15.1 MiB) DO NOT — so the budget sits at 13.8 MiB,
+# between the measured pass/fail.
+_FUSED_VMEM_BUDGET = int(13.8 * 2 ** 20)
+
+
+def _fused_vmem_estimate(s_pad, dh, bq, bk):
+    return bq * bk * 14 + s_pad * dh * 16
 
 
 def _backward(res, g, num_img, bq, bk, b, h, s, dh):
-    fn = _backward_fused if FUSED_BWD else _backward_split
+    s_pad = res[-1]
+    use_fused = (FUSED_BWD and
+                 _fused_vmem_estimate(s_pad, dh, bq, bk)
+                 <= _FUSED_VMEM_BUDGET)
+    fn = _backward_fused if use_fused else _backward_split
     return fn(res, g, num_img, bq, bk, b, h, s, dh)
 
 

@@ -121,6 +121,22 @@ def test_choose_blocks_minimises_padding():
             assert pad <= -(-s // cl) * cl
 
 
+def test_fused_bwd_vmem_guard_routing():
+    """The fused single-pass backward must route to the split kernels on
+    shapes whose scoped-VMEM footprint exceeds the v5e's 16 MiB limit.
+    Calibration points are measured compile probes (r3, 896x896 blocks,
+    realistic b*h grids): s_pad 1792 (flagship) and 2688 compile fused;
+    3584 and 4480 (ViT-L 16-frame stretch) OOM and must go split."""
+    budget = gf._FUSED_VMEM_BUDGET
+    est = gf._fused_vmem_estimate
+    assert est(1792, 64, 896, 896) <= budget      # flagship: fused
+    assert est(2688, 64, 896, 896) <= budget      # measured pass
+    assert est(3584, 64, 896, 896) > budget       # measured scoped OOM
+    assert est(4480, 64, 896, 896) > budget       # vitl16 stretch: split
+    # smaller tiles shrink the dominant temporaries term
+    assert est(3200, 64, 640, 640) <= budget      # measured pass (S=3100)
+
+
 def test_bf16_matches_f32_dense():
     """Production dtype: matmul inputs stay bf16 in-kernel (P is cast to
     bf16 for P@V).  Validate against the f32 dense reference within
@@ -157,7 +173,11 @@ def test_bf16_matches_f32_dense():
                                    np.asarray(b_), atol=5e-2, rtol=5e-2)
 
 
-def test_gradients_match_dense():
+@pytest.mark.parametrize("fused", [True, False])
+def test_gradients_match_dense(fused, monkeypatch):
+    # both backward formulations (fused single-pass default, split
+    # two-pass A/B fallback) must match the dense XLA reference
+    monkeypatch.setattr(gf, "FUSED_BWD", fused)
     b, h, num_img, l, d = 1, 2, 128, 16, 64
     s = num_img + l
     rng = np.random.default_rng(1)
