@@ -399,6 +399,16 @@ FUSED_BWD = True
 # between the measured pass/fail.
 _FUSED_VMEM_BUDGET = int(13.8 * 2 ** 20)
 
+# Second, independent guard: the linear estimate UNDERPREDICTS for
+# small-block/large-row shapes — 640x640 at s_pad=4480 estimates
+# 10.3 MiB yet Mosaic's actual scoped allocation is 16.17 MiB (compile
+# OOM, measured r3; the row-proportional footprint is super-linear in a
+# way no single-coefficient model fits all calibration points).  Every
+# measured compile PASS has s_pad <= 2688 and every FAIL has
+# s_pad >= 3584 regardless of block size, so fused is simply capped at
+# the largest calibrated-good row length.
+_FUSED_MAX_SPAD = 2944
+
 
 def _fused_vmem_estimate(s_pad, dh, bq, bk):
     return bq * bk * 14 + s_pad * dh * 16
@@ -406,7 +416,7 @@ def _fused_vmem_estimate(s_pad, dh, bq, bk):
 
 def _backward(res, g, num_img, bq, bk, b, h, s, dh):
     s_pad = res[-1]
-    use_fused = (FUSED_BWD and
+    use_fused = (FUSED_BWD and s_pad <= _FUSED_MAX_SPAD and
                  _fused_vmem_estimate(s_pad, dh, bq, bk)
                  <= _FUSED_VMEM_BUDGET)
     fn = _backward_fused if use_fused else _backward_split
