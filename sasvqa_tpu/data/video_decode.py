@@ -119,7 +119,37 @@ class VideoDecoder:
             if n < 0:
                 raise IOError(f"window decode error {n} on {self.path}")
             return buf[:n].copy()
-        raise NotImplementedError("window decode requires the native lib")
+        return self._cv2_read_window(start_sec, end_sec, interval,
+                                     max_frames, (w, h))
+
+    def _cv2_read_window(self, start_sec, end_sec, interval, max_frames,
+                         size):
+        """cv2 fallback mirroring vd_read_window (videodecode.cpp:158):
+        frames with start_sec <= t <= end_sec, every ``interval``-th
+        counted from the first in-window frame.  cv2's ffmpeg backend
+        seeks to the nearest keyframe then decodes forward, so the seek
+        is frame-accurate like the native AVSEEK_FLAG_BACKWARD path."""
+        import cv2
+        cap = cv2.VideoCapture(self.path)
+        cap.set(cv2.CAP_PROP_POS_MSEC, start_sec * 1e3)
+        frames = []
+        seen = 0
+        while len(frames) < max_frames:
+            t = cap.get(cv2.CAP_PROP_POS_MSEC) / 1e3  # next frame's PTS
+            ok, frame = cap.read()
+            if not ok or t > end_sec:
+                break
+            if t >= start_sec:
+                if seen % interval == 0:
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    if (frame.shape[1], frame.shape[0]) != size:
+                        frame = cv2.resize(frame, size)
+                    frames.append(frame)
+                seen += 1
+        cap.release()
+        if not frames:
+            return np.empty((0, size[1], size[0], 3), dtype=np.uint8)
+        return np.stack(frames)
 
     def _cv2_read(self, interval, max_frames, size):
         import cv2

@@ -64,3 +64,35 @@ def test_window_decode(video_path):
         frames = dec.read_window(1.0, 2.0)
     # 10 fps video, 1 second window -> ~10 frames
     assert 8 <= len(frames) <= 12
+
+
+def test_window_decode_cv2_fallback_matches_native(video_path):
+    with VideoDecoder(video_path) as dec:
+        native = dec.read_window(1.0, 2.0)
+    with VideoDecoder.__new__(VideoDecoder) as dec:  # force cv2 fallback
+        dec.path = video_path
+        dec._h = None
+        fallback = dec.read_window(1.0, 2.0)
+    # PTS rounding at the window START may differ by one frame between
+    # the two demuxers (cv2's POS_MSEC vs best_effort_timestamp), which
+    # shifts the whole sequence; the overlap at the best shift in
+    # {-1, 0, +1} must match pixel-wise
+    assert abs(len(native) - len(fallback)) <= 1
+    assert min(len(native), len(fallback)) >= 8
+
+    def diff_at(shift):
+        a = native[max(shift, 0):]
+        b = fallback[max(-shift, 0):]
+        n = min(len(a), len(b))
+        return np.mean(np.abs(a[:n].astype(int) - b[:n].astype(int)))
+
+    assert min(diff_at(s) for s in (-1, 0, 1)) < 3
+
+
+def test_window_decode_cv2_fallback_empty_window(video_path):
+    with VideoDecoder.__new__(VideoDecoder) as dec:
+        dec.path = video_path
+        dec._h = None
+        out = dec.read_window(50.0, 60.0)   # past end of a 3 s video
+    assert out.shape == (0, 48, 64, 3)
+    assert out.dtype == np.uint8
