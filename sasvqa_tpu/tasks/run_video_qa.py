@@ -158,8 +158,13 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
             arrays = shard_batch(arrays, mesh)
         return arrays
 
-    for b_idx, (idx_p, n_real_groups) in enumerate(
-            eval_batch_plan(len(dataset), global_bs)):
+    def dispatch(idx_p, n_real_groups):
+        """Host prep + async device dispatch for one planned batch.
+
+        Returns (gqids, n_real, device_out) with device_out still in
+        flight — jax dispatch is async, so the device computes this
+        batch while the host consumes the PREVIOUS one (the eval
+        analogue of the train loop's no-per-step-sync discipline)."""
         # global question ids + real-example count from datalist
         # METADATA only — no frame IO for other hosts' rows; tiled
         # padding groups sit at the END of idx_p, so the first n_real
@@ -183,7 +188,25 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
             "eval prediction attribution drift"
         batch = stage(raw)
         if family == "git":
-            generated = fetch_replicated(eval_step(state, batch), mesh)
+            dev = eval_step(state, batch)
+        elif ensemble > 1:
+            # extra clips re-run only the collator on the items read
+            # above (frame re-sampling lives in the collator)
+            dev = [logits_step(state, batch)]
+            for _ in range(ensemble - 1):
+                b2 = stage(collator(items, rng=eval_rng))
+                dev.append(logits_step(state, b2))
+        else:
+            dev, _ = eval_step(state, batch)
+        return gqids, n_real, dev
+
+    def consume(pending):
+        """Fetch + decode one dispatched batch — the host half of the
+        pipeline, running while the device computes the next batch."""
+        nonlocal n_ex
+        gqids, n_real, dev = pending
+        if family == "git":
+            generated = fetch_replicated(dev, mesh)
             preds, strs = decode_answers(tokenizer, generated[:n_real],
                                          ans2label)
             for qid, p, s in zip(gqids, preds, strs):
@@ -192,15 +215,7 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
                                        data=dataset.qid2data[qid]))
         elif ensemble > 1:
             from sasvqa_tpu.train.retrieval import aggregate_clip_scores
-            all_logits = [fetch_replicated(logits_step(state, batch),
-                                           mesh)[:n_real]]
-            # extra clips re-run only the collator on the items read
-            # above (frame re-sampling lives in the collator)
-            for _ in range(ensemble - 1):
-                b2 = stage(collator(items, rng=eval_rng))
-                all_logits.append(
-                    fetch_replicated(logits_step(state, b2),
-                                     mesh)[:n_real])
+            all_logits = [fetch_replicated(d, mesh)[:n_real] for d in dev]
             agg = aggregate_clip_scores(
                 jnp.asarray(np.stack(all_logits, axis=-1)),
                 cfg.get("score_agg_func", "mean"))
@@ -209,14 +224,29 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
                 qa_results.append(dict(question_id=qid, answer=int(p),
                                        data=dataset.qid2data[qid]))
         else:
-            preds, _ = eval_step(state, batch)
-            preds = fetch_replicated(preds, mesh)[:n_real].tolist()
+            preds = fetch_replicated(dev, mesh)[:n_real].tolist()
             for qid, p in zip(gqids, preds):
                 qa_results.append(dict(question_id=qid, answer=int(p),
                                        data=dataset.qid2data[qid]))
         n_ex += n_real
+
+    # ONE batch in flight: dispatch batch i, then consume batch i-1, so
+    # host collation + answer decoding overlap device compute instead of
+    # serialising with it (the old loop fetched each batch's output
+    # right after dispatching it, idling the device during every
+    # collate/decode).  Multi-host ordering is untouched — every process
+    # walks the same global plan and consumes in dispatch order.
+    in_flight = None
+    for b_idx, (idx_p, n_real_groups) in enumerate(
+            eval_batch_plan(len(dataset), global_bs)):
+        cur = dispatch(idx_p, n_real_groups)
+        if in_flight is not None:
+            consume(in_flight)
+        in_flight = cur
         if cfg.debug and b_idx >= 5:
             break
+    if in_flight is not None:
+        consume(in_flight)
 
     val_log: Dict[str, Any] = {}
     gathered: Dict[str, Any] = {}
