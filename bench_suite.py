@@ -56,7 +56,7 @@ def _clip_model():
 
 
 def _measure(name, model, batch, frames, txt_len, classifier=False,
-             img=224, steps=12):
+             img=224, steps=12, moment_dtype="f32"):
     import optax
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(1, 1000, size=(batch, txt_len)),
@@ -71,7 +71,16 @@ def _measure(name, model, batch, frames, txt_len, classifier=False,
 
     params = jax.jit(model.init)(jax.random.key(0), ids, mask,
                                  pixels[:, :1])
-    tx = optax.adamw(1e-5)
+    if moment_dtype == "bf16":
+        # --adamw_moment_dtype bf16 equivalent (same b1/b2/eps/wd as the
+        # optax.adamw defaults below, moments STORED bf16)
+        from sasvqa_tpu.train.steps import _scale_by_adam_lowp
+        tx = optax.chain(
+            _scale_by_adam_lowp(0.9, 0.999, 1e-8, jnp.bfloat16),
+            optax.add_decayed_weights(1e-4),
+            optax.scale_by_learning_rate(1e-5))
+    else:
+        tx = optax.adamw(1e-5)
     opt_state = tx.init(params)
 
     # batch arrays are jit ARGUMENTS, not closure captures — captured
@@ -260,6 +269,12 @@ ROWS = {
     "vitl16": lambda: _measure("vitl16_stretch",
                                _git_model(large=True, remat=True), 8, 16,
                                32, steps=6),
+    # --adamw_moment_dtype bf16 A/B rows (PARITY.md #15): the optimizer
+    # update is HBM-bound; bf16 moments cut its traffic ~29%
+    "git8m": lambda: _measure("git8_bf16_moments", _git_model(), 16, 8,
+                              32, moment_dtype="bf16"),
+    "clip1m": lambda: _measure("clip1_bf16_moments", _clip_model(), 8, 1,
+                               32, classifier=True, moment_dtype="bf16"),
     "accum": _measure_accum,
     "eval": _measure_eval,
     "mdf": _measure_mdf,

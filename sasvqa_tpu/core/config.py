@@ -153,6 +153,20 @@ def build_shared_parser(desc: str = "sasvqa_tpu shared config") -> argparse.Argu
                         "Checkpoints are NOT interchangeable across the "
                         "two settings (optimizer state trees differ); "
                         "keep the flag fixed across resume.")
+    # deliberate divergence (opt-in, PARITY.md): bf16 Adam moments halve
+    # the optimizer's HBM traffic (7 -> 5 f32-equivalent passes/param;
+    # the adamw tail is at its measured bandwidth floor otherwise,
+    # BASELINE.md "Tail irreducibility").  f32 keeps bitwise parity with
+    # torch.optim.AdamW (tests/test_optimizer.py).  Checkpoints are NOT
+    # interchangeable across settings (moment dtypes differ); keep the
+    # flag fixed across resume.
+    p.add_argument("--adamw_moment_dtype", default="f32",
+                   choices=["f32", "bf16"],
+                   help="dtype Adam's mu/nu moments are STORED in "
+                        "(EMA math stays f32). bf16 saves ~29%% of "
+                        "optimizer-update HBM traffic at a ~2^-8 "
+                        "relative moment-rounding cost; f32 (default) "
+                        "is bitwise-parity with the reference.")
     p.add_argument("--learning_rate", default=5e-5, type=float)
     p.add_argument("--num_valid", default=20, type=int)
     p.add_argument("--min_valid_steps", default=100, type=int)

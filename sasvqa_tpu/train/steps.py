@@ -90,6 +90,55 @@ def lr_mul_mask(params, prefix: str) -> Any:
     return jax.tree_util.tree_map_with_path(match, params)
 
 
+def _scale_by_adam_lowp(b1: float, b2: float, eps: float,
+                        moment_dtype) -> optax.GradientTransformation:
+    """optax.scale_by_adam with BOTH moments stored in ``moment_dtype``.
+
+    optax's own ``mu_dtype`` covers only the first moment; storing nu
+    low-precision too is what halves the moment traffic (the adamw
+    update is HBM-bandwidth-bound at the measured 4.95 GB/step floor,
+    BASELINE.md).  The EMA update and the mu_hat/nu_hat math run in f32
+    — only the *stored* state rounds, a one-per-step 2^-8 relative
+    rounding on each moment.  Matches optax.scale_by_adam's formulation
+    (bias correction via 1-b^t on the incremented count) so the f32
+    instantiation of this transform is step-for-step identical to
+    optax's; the shipped f32 path still uses optax.adamw itself.
+    """
+    md = jnp.dtype(moment_dtype)
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros(jnp.shape(p), md)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        t = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+
+        def one(g, m, v):
+            g32 = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * g32 * g32
+            upd = (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
+            return upd.astype(g.dtype), m32.astype(md), v32.astype(md)
+
+        out = jax.tree_util.tree_map(one, updates, state.mu, state.nu)
+        upd = jax.tree_util.tree_map(lambda o: o[0], out,
+                                     is_leaf=lambda x: isinstance(x, tuple))
+        mu = jax.tree_util.tree_map(lambda o: o[1], out,
+                                    is_leaf=lambda x: isinstance(x, tuple))
+        nu = jax.tree_util.tree_map(lambda o: o[2], out,
+                                    is_leaf=lambda x: isinstance(x, tuple))
+        return upd, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg, total_steps: int,
                    params=None) -> optax.GradientTransformation:
     """optax chain: clip -> optimizer(lr schedule) -> MultiSteps(accum).
@@ -119,7 +168,19 @@ def make_optimizer(cfg, total_steps: int,
         kwargs.update(weight_decay=cfg.get("weight_decay", 1e-3))
         if params is not None:
             kwargs.update(mask=decay_mask(params))
-    tx = _OPTIMIZERS[opt_name](learning_rate=sched, **kwargs)
+    moment_dtype = str(cfg.get("adamw_moment_dtype", "f32"))
+    if opt_name == "adamw" and moment_dtype == "bf16":
+        # opt-in low-precision moments (see _scale_by_adam_lowp); same
+        # chain structure as optax.adamw = scale_by_adam ->
+        # add_decayed_weights(mask) -> scale_by_learning_rate
+        tx = optax.chain(
+            _scale_by_adam_lowp(kwargs["b1"], kwargs["b2"], eps=1e-8,
+                                moment_dtype=jnp.bfloat16),
+            optax.add_decayed_weights(kwargs["weight_decay"],
+                                      mask=kwargs.get("mask")),
+            optax.scale_by_learning_rate(sched))
+    else:
+        tx = _OPTIMIZERS[opt_name](learning_rate=sched, **kwargs)
 
     chain = []
     grad_norm = cfg.get("grad_norm", -1)

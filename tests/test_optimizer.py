@@ -105,6 +105,75 @@ def test_adamw_step_matches_torch_reference_groups():
             rtol=1e-5, atol=1e-6, err_msg=f"{mod}/{leaf}")
 
 
+def test_adamw_bf16_moments_tracks_f32_and_stores_bf16():
+    """--adamw_moment_dtype bf16 (opt-in divergence, PARITY.md): the
+    moments are STORED bf16 but the trajectory must track the f32 path
+    closely, and the f32 instantiation of the custom transform must be
+    step-for-step identical to optax.adamw's scale_by_adam."""
+    from sasvqa_tpu.train.steps import _scale_by_adam_lowp
+
+    rng = np.random.default_rng(7)
+    params = {"dense": {"kernel": jnp.asarray(
+                  rng.normal(size=(16, 8)).astype(np.float32)),
+                        "bias": jnp.zeros(8)}}
+    base = dict(optim="adamw", learning_rate=1e-3, weight_decay=0.05,
+                betas=[0.9, 0.98], num_train_epochs=1,
+                gradient_accumulation_steps=1, grad_norm=-1,
+                decay="constant")
+    tx32 = make_optimizer(ConfigDict(dict(base)), 100, params=params)
+    tx16 = make_optimizer(
+        ConfigDict(dict(base, adamw_moment_dtype="bf16")), 100,
+        params=params)
+
+    s32, s16 = tx32.init(params), tx16.init(params)
+    p32, p16 = params, params
+    for i in range(20):
+        grads = {"dense": {"kernel": jnp.asarray(
+                     rng.normal(size=(16, 8)).astype(np.float32)),
+                           "bias": jnp.asarray(
+                     rng.normal(size=(8,)).astype(np.float32))}}
+        u32, s32 = tx32.update(grads, s32, p32)
+        p32 = optax.apply_updates(p32, u32)
+        u16, s16 = tx16.update(grads, s16, p16)
+        p16 = optax.apply_updates(p16, u16)
+
+    # stored dtypes: both moments bf16 (that's the whole point)
+    def _find_adam(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s
+        if isinstance(s, (tuple, list)):
+            for x in s:
+                r = _find_adam(x)
+                if r is not None:
+                    return r
+        return None
+
+    adam_state = _find_adam(s16)
+    assert adam_state is not None
+    assert adam_state.mu["dense"]["kernel"].dtype == jnp.bfloat16
+    assert adam_state.nu["dense"]["kernel"].dtype == jnp.bfloat16
+    # trajectory after 20 steps within bf16 rounding of the f32 path
+    diff = float(jnp.abs(p16["dense"]["kernel"]
+                         - p32["dense"]["kernel"]).max())
+    scale = float(jnp.abs(p32["dense"]["kernel"]).max())
+    assert diff < 2e-2 * scale, diff
+
+    # f32 instantiation == optax.scale_by_adam exactly (formulation pin)
+    ref = optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-8)
+    own = _scale_by_adam_lowp(0.9, 0.98, eps=1e-8,
+                              moment_dtype=jnp.float32)
+    sr, so = ref.init(params), own.init(params)
+    pr = params
+    for i in range(3):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, 0.1 * (i + 1)), pr)
+        ur, sr = ref.update(g, sr, pr)
+        uo, so = own.update(g, so, pr)
+        np.testing.assert_array_equal(
+            np.asarray(ur["dense"]["kernel"]),
+            np.asarray(uo["dense"]["kernel"]))
+
+
 def test_lr_mul_mask_prefix():
     mask = lr_mul_mask(_params(), "encoder")
     assert mask["encoder"]["layers_0"]["self_attn"]["qkv"]["kernel"] is True
