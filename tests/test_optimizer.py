@@ -174,6 +174,64 @@ def test_adamw_bf16_moments_tracks_f32_and_stores_bf16():
             np.asarray(uo["dense"]["kernel"]))
 
 
+def test_adamw_bf16_moments_checkpoint_roundtrip(tmp_path):
+    """bf16 moments must survive the TrainingRestorer save/restore
+    (Orbax StandardRestore against a bf16-leaved template): a resumed
+    run continues the EXACT trajectory of an uninterrupted one."""
+    from sasvqa_tpu.core.checkpoint import TrainingRestorer
+
+    params = {"w": jnp.asarray(
+        np.random.default_rng(3).normal(size=(8, 4)).astype(np.float32))}
+    cfg = ConfigDict(dict(optim="adamw", learning_rate=1e-3,
+                          weight_decay=0.01, betas=[0.9, 0.999],
+                          num_train_epochs=1, grad_norm=-1,
+                          gradient_accumulation_steps=1,
+                          decay="constant", adamw_moment_dtype="bf16"))
+    tx = make_optimizer(cfg, 50, params=params)
+
+    class S:
+        def __init__(self, params, opt_state, step):
+            self.params, self.opt_state, self.step = params, opt_state, step
+
+        def replace(self, **kw):
+            d = dict(params=self.params, opt_state=self.opt_state,
+                     step=self.step)
+            d.update(kw)
+            return S(**d)
+
+    def upd(s, seed):
+        g = {"w": jnp.asarray(np.random.default_rng(seed).normal(
+            size=(8, 4)).astype(np.float32))}
+        u, new_opt = tx.update(g, s.opt_state, s.params)
+        return S(optax.apply_updates(s.params, u), new_opt,
+                 s.step + jnp.ones_like(s.step))
+
+    s = S(params, tx.init(params), jnp.zeros([], jnp.int32))
+    for i in range(3):
+        s = upd(s, i)
+
+    restorer = TrainingRestorer(str(tmp_path / "out"), save_steps=1)
+    restorer.force_save(3, s)
+    restorer.wait()
+    fresh = S(params, tx.init(params), jnp.zeros([], jnp.int32))
+    resumed = restorer.restore_into(fresh)
+    restorer.close()
+
+    def moment_leaves(opt_state):
+        return [l for l in jax.tree_util.tree_leaves(opt_state)
+                if getattr(l, "dtype", None) == jnp.bfloat16]
+
+    assert len(moment_leaves(resumed.opt_state)) == 2  # mu + nu
+    for a, b in zip(jax.tree_util.tree_leaves(resumed.opt_state),
+                    jax.tree_util.tree_leaves(s.opt_state)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # continued trajectories identical
+    cont, uncont = upd(resumed, 99), upd(s, 99)
+    np.testing.assert_array_equal(np.asarray(cont.params["w"]),
+                                  np.asarray(uncont.params["w"]))
+
+
 def test_lr_mul_mask_prefix():
     mask = lr_mul_mask(_params(), "encoder")
     assert mask["encoder"]["layers_0"]["self_attn"]["qkv"]["kernel"] is True
