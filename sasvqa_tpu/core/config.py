@@ -104,7 +104,11 @@ def build_shared_parser(desc: str = "sasvqa_tpu shared config") -> argparse.Argu
     p.add_argument("--debug", type=int, choices=[0, 1], default=0,
                    help="debug mode: break train loop after 3 steps, val after 5")
     p.add_argument("--data_ratio", type=float, default=1.0,
-                   help="portion of train/val examples to use")
+                   help="portion of train examples to use. Reference "
+                        "quirk preserved: only the tgif-qa family "
+                        "branch applies it (msvd/msrvtt loaders ignore "
+                        "it — run_video_qa.py:98-101 lives in the "
+                        "jsonl/else branch only)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler device trace of this "
                         "many train steps (starting at step 2, after "

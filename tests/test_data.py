@@ -29,6 +29,31 @@ def test_load_msvd_datalist(synth):
     assert not d["video_id"].endswith(".avi")  # suffix stripped
 
 
+def test_data_ratio_tgif_only_reference_quirk(synth, tmp_path):
+    """--data_ratio subsets ONLY the tgif-qa (jsonl) branch, exactly as
+    the reference does (run_video_qa.py:98-101 lives in its else branch;
+    msvd/msrvtt loaders never consult cfg.data_ratio)."""
+    import random
+    from sasvqa_tpu.data.synthetic import make_synthetic_frameqa_dataset
+
+    paths = make_synthetic_frameqa_dataset(str(tmp_path), num_videos=4)
+    full = load_datalist("frameqa", paths["train"])
+    half = load_datalist("frameqa", paths["train"], data_ratio=0.5,
+                         rng=random.Random(0))
+    assert len(half) == len(full) // 2
+    # question_ids are re-assigned post-subset (reference qid counter)
+    assert [d["question_id"] for d in half] == list(range(len(half)))
+    # subset comes FROM the full set (compare by content, not qid)
+    keys = {(d["question"], d["video_id"], str(d["answer"])) for d in full}
+    assert all((d["question"], d["video_id"], str(d["answer"])) in keys
+               for d in half)
+
+    # msvd: ratio accepted but IGNORED (parity pin)
+    msvd_full = load_datalist("msvd_qa", synth["train"])
+    msvd_half = load_datalist("msvd_qa", synth["train"], data_ratio=0.5)
+    assert len(msvd_half) == len(msvd_full)
+
+
 def test_answer_dict_topk(synth):
     ans2label = build_common_answer_dict([synth["train"]], k=3)
     assert len(ans2label) == 3

@@ -75,6 +75,29 @@ def test_clip_end_to_end(synth, tmp_path):
     assert len(os.listdir(tmp_path / "out" / "ckpt")) > 0
 
 
+def test_zero_eval_validates_before_training(synth, tmp_path):
+    """zero_eval=1 runs validation on val AND test before any training
+    (reference run_video_qa.py:467-469) — zero_valid/zero_test scalars
+    land in the log before the first train/loss entry."""
+    import json as _json
+    from sasvqa_tpu.tasks.run_video_qa import main
+    cfg_path = _write_config(
+        tmp_path, synth,
+        {"pretrained_model": "tiny-clip", "vocab_size": 512,
+         "txt_output_size": 32, "hidden_dropout_prob": 0.1},
+        zero_eval=1)
+    result = main(["--task", "msvd_qa", "--config", cfg_path])
+    assert np.isfinite(result["train_loss"])
+    scalars = [_json.loads(l) for l in
+               open(tmp_path / "out" / "log" / "scalars.jsonl")]
+    tags = [s["tag"] for s in scalars]
+    assert any(t.startswith("zero_valid/") for t in tags)
+    assert any(t.startswith("zero_test/") for t in tags)
+    # zero-eval precedes the first training loss in the log stream
+    assert tags.index("train/loss") > tags.index(
+        next(t for t in tags if t.startswith("zero_valid/")))
+
+
 def test_git_end_to_end(synth, tmp_path):
     from sasvqa_tpu.tasks.run_video_qa import main
     cfg_path = _write_config(
