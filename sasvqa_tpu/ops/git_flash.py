@@ -94,6 +94,17 @@ PALLAS_BWD_MIN_SEQ = 0
 
 _INTERPRET = False
 
+# Grid-dimension semantics for Mosaic's pipeliner.  Every program of the
+# forward/dq/dkv kernels is independent -> both dims "parallel" (no
+# cross-iteration dependence assumed, frees scheduling).  The FUSED
+# backward accumulates dQ through an output block revisited across grid
+# dim 1, which REQUIRES sequential ("arbitrary") semantics there — only
+# dim 0 (b*h rows) is parallel.
+_PARALLEL2 = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel"))
+_PARALLEL_ROWS_ONLY = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "arbitrary"))
+
 
 def set_interpret_mode(on: bool) -> None:
     global _INTERPRET
@@ -377,6 +388,7 @@ def _forward(q, k, v, attention_mask, num_img, bq, bk):
             bytes_accessed=3 * qp.size * qp.dtype.itemsize,
             transcendentals=b * h * s_pad * s_pad,
         ),
+        compiler_params=_PARALLEL2,
         interpret=_INTERPRET,
     )(colmask, qp, kp, vp)
     return out.reshape(b, h, s_pad, dh)[:, :, :s, :], (qp, kp, vp, colmask,
@@ -468,6 +480,7 @@ def _backward_fused(res, g, num_img, bq, bk, b, h, s, dh):
                 bytes_accessed=5 * b * h * s_pad * dh * 2,
                 transcendentals=b * h * s_pad * n_blocks * bk,
             ),
+            compiler_params=_PARALLEL_ROWS_ONLY,
             interpret=_INTERPRET,
         )(colmask, qp, kp, vp, gp, outp, lse)
 
@@ -510,6 +523,7 @@ def _backward_split(res, g, num_img, bq, bk, b, h, s, dh):
         in_specs=[cm_spec, blk(), full(), full(), blk(), blk(), lse_blk],
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, dh), qp.dtype),
+        compiler_params=_PARALLEL2,
         interpret=_INTERPRET,
     )(colmask, qp, kp, vp, gp, outp, lse)
 
@@ -538,6 +552,7 @@ def _backward_split(res, g, num_img, bq, bk, b, h, s, dh):
             out_shape=(
                 jax.ShapeDtypeStruct((b * h, n_blocks * bk, dh), kp.dtype),
                 jax.ShapeDtypeStruct((b * h, n_blocks * bk, dh), vp.dtype)),
+            compiler_params=_PARALLEL2,
             interpret=_INTERPRET,
         )(colmask, qp, kp, vp, gp, outp, lse)
 
