@@ -26,12 +26,16 @@ training-step structure costs:
 Two numbers are printed per shape: ``synced`` (per-step host fetch —
 faithful to the reference loop, but over a tunneled chip the ~34 ms
 round-trip inflates the penalty beyond what a local GPU would pay) and
-``pipelined`` (sync once at the end).  BASELINE.md cites the
-**pipelined** number as the conservative denominator: every cost it
-keeps (MXU underfill, dense attention, full head, staging) is hardware-
-comparable, and a JAX/XLA port is itself already faster than torch
-eager — so the true reference is slower than this baseline and the
-reported speedup is a floor, not a claim.
+``pipelined`` (sync once at the end).  BASELINE.md pins, per shape, the
+FASTEST number observed in any run of EITHER variant as the denominator
+(conservative: at the flagship shape the synced runs were actually
+faster — the naive program's queued-step transients thrash HBM under
+async dispatch — so 7.69 synced is the pin; msvd_base's best was
+pipelined).  Every cost the pattern keeps (MXU underfill, dense
+attention, full head, staging) is hardware-comparable, and a JAX/XLA
+port is itself already faster than torch eager — so the true reference
+is slower than this baseline and the reported speedup is a floor, not
+a claim.
 
     python bench_naive_baseline.py            # both shapes
     python bench_naive_baseline.py flagship   # one shape

@@ -276,8 +276,8 @@ def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
 def _fused_bwd_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
                       lse_ref, dq_ref, dk_ref, dv_ref, *, bq: int,
-                      scale: float, num_img: int, col_base: int,
-                      mask: bool):
+                      scale: float, num_img: int, nk_free: int,
+                      nk: int):
     """grid = (B*H, nk): all three gradients in one pass per key block.
 
     dq_ref is the full (1, s_pad, Dh) f32 row whose index map ignores
@@ -286,7 +286,16 @@ def _fused_bwd_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
     The scale is folded into the bf16 cast of dS (exact when Dh is a
     power of two — scale is then a power of two; all shipped configs
     have Dh=64) so neither dQ nor dK needs a post-loop rescale that a
-    cross-program accumulator could not express."""
+    cross-program accumulator could not express.
+
+    The mask decision is per KEY block = per program, and here the
+    static fwd/dq-style loop split becomes a program-level ``pl.when``
+    pair on ``ki < nk_free``: image-prefix programs run the mask-free
+    body, tail programs the masked one.  Measured r3 at the flagship
+    shape, ms per 6-matmul layer backward: call-level split into two
+    pallas_calls (the r3 original — pays an extra f32 dQ array + add +
+    dK/dV concats) 8.00; one all-masked call 7.39; this 7.21 (1.11x),
+    bitwise-identical outputs."""
     ki = pl.program_id(1)
     bk = k_ref.shape[1]
     k = k_ref[0]                                       # (BK, Dh) bf16
@@ -297,38 +306,53 @@ def _fused_bwd_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
     def _init():
         dq_ref[0] = jnp.zeros_like(dq_ref[0])
 
-    def body(i, carry):
-        dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * bq, bq), :]
-        do = do_ref[0, pl.ds(i * bq, bq), :]
-        o = o_ref[0, pl.ds(i * bq, bq), :]
-        lse = lse_ref[0, 0, pl.ds(i * bq, bq)]         # (BQ,)
-        d_row = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                        axis=-1)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        if mask:
-            s = _mask_block(s, i * bq, col_base + ki * bk, colmask_ref,
-                            num_img)
-        p = jnp.exp(s - lse[:, None])                  # (BQ, BK)
-        dv_acc = dv_acc + jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (BK, Dh)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = (p * (dp - d_row[:, None]) * scale).astype(q.dtype)
-        dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (BK, Dh)
-        dq_ref[0, pl.ds(i * bq, bq), :] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (BQ, Dh)
-        return dk_acc, dv_acc
+    def run(mask: bool):
+        def body(i, carry):
+            dk_acc, dv_acc = carry
+            q = q_ref[0, pl.ds(i * bq, bq), :]
+            do = do_ref[0, pl.ds(i * bq, bq), :]
+            o = o_ref[0, pl.ds(i * bq, bq), :]
+            lse = lse_ref[0, 0, pl.ds(i * bq, bq)]     # (BQ,)
+            d_row = jnp.sum(do.astype(jnp.float32)
+                            * o.astype(jnp.float32), axis=-1)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if mask:
+                s = _mask_block(s, i * bq, ki * bk, colmask_ref,
+                                num_img)
+            p = jnp.exp(s - lse[:, None])              # (BQ, BK)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (BK, Dh)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = (p * (dp - d_row[:, None]) * scale).astype(q.dtype)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (BK, Dh)
+            dq_ref[0, pl.ds(i * bq, bq), :] += jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (BQ, Dh)
+            return dk_acc, dv_acc
 
-    z = jnp.zeros((bk, k.shape[1]), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, lq // bq, body, (z, z))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        z = jnp.zeros((bk, k.shape[1]), jnp.float32)
+        dk, dv = jax.lax.fori_loop(0, lq // bq, body, (z, z))
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    if nk_free <= 0:                 # static: no mask-free prefix
+        run(True)
+    elif nk_free >= nk:              # static: nothing masked (L==0 use)
+        run(False)
+    else:
+        @pl.when(ki < nk_free)
+        def _free():
+            run(False)
+
+        @pl.when(ki >= nk_free)
+        def _masked():
+            run(True)
 
 
 def _prepare(q, k, v, attention_mask, num_img, bq, bk):
@@ -415,11 +439,14 @@ _FUSED_VMEM_BUDGET = int(13.8 * 2 ** 20)
 # small-block/large-row shapes — 640x640 at s_pad=4480 estimates
 # 10.3 MiB yet Mosaic's actual scoped allocation is 16.17 MiB (compile
 # OOM, measured r3; the row-proportional footprint is super-linear in a
-# way no single-coefficient model fits all calibration points).  Every
-# measured compile PASS has s_pad <= 2688 and every FAIL has
-# s_pad >= 3584 regardless of block size, so fused is simply capped at
-# the largest calibrated-good row length.
-_FUSED_MAX_SPAD = 2944
+# way no single-coefficient model fits all calibration points).  The
+# measured compile frontier (r3, realistic b*h grids): PASSES at s_pad
+# 1792/2688 (896x896), 3072 (512x1024, 16.3 ms fwd+bwd vs split's ~19)
+# and 3200 (640x640, 17.7 vs split 20.4 = 1.15x); FAILS at 3584
+# (896x896, scoped 17.48 MiB) and 4480 (any block).  No reachable
+# s_pad (a multiple of some candidate lcm) exists strictly between
+# 3200 and 3584, so the cap sits exactly at the measured-good edge.
+_FUSED_MAX_SPAD = 3200
 
 
 def _fused_vmem_estimate(s_pad, dh, bq, bk):
@@ -436,6 +463,12 @@ def _backward(res, g, num_img, bq, bk, b, h, s, dh):
 
 
 def _backward_fused(res, g, num_img, bq, bk, b, h, s, dh):
+    """ONE pallas_call over every key block; the mask-free/masked split
+    is the program-level pl.when inside _fused_bwd_kernel.  (The r3
+    original launched two calls — mask-free prefix + masked tail — and
+    paid a second f32 dQ array, an XLA add and dK/dV concats for it:
+    measured 8.00 vs 7.21 ms per layer backward at the flagship shape,
+    identical outputs.)"""
     qp, kp, vp, colmask, outp, lse, s_pad = res
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
                  ).reshape(b * h, s_pad, dh)
@@ -447,56 +480,37 @@ def _backward_fused(res, g, num_img, bq, bk, b, h, s, dh):
                            (bh_i // h, 0, 0), memory_space=pltpu.VMEM)
     lse_full = pl.BlockSpec((1, 1, s_pad), lambda bh_i, i: (bh_i, 0, 0),
                             memory_space=pltpu.VMEM)
+    kblk = lambda: pl.BlockSpec((1, bk, dh), lambda bh_i, i: (bh_i, i, 0),
+                                memory_space=pltpu.VMEM)
+    # dq: full-row block, index map ignores the key grid dim — the
+    # cross-program accumulator (kernel docstring)
+    dq_spec = pl.BlockSpec((1, s_pad, dh), lambda bh_i, i: (bh_i, 0, 0),
+                           memory_space=pltpu.VMEM)
 
     nk = s_pad // bk
     nk_free = _n_unmasked_blocks(num_img, bk, nk)
-
-    def fused_call(n_blocks, col_base, mask):
-        kblk_in = lambda: pl.BlockSpec(
-            (1, bk, dh),
-            lambda bh_i, i, o=col_base // bk: (bh_i, i + o, 0),
-            memory_space=pltpu.VMEM)
-        kblk_out = lambda: pl.BlockSpec(
-            (1, bk, dh), lambda bh_i, i: (bh_i, i, 0),
-            memory_space=pltpu.VMEM)
-        # dq: full-row block, index map ignores the key grid dim — the
-        # cross-program accumulator (kernel docstring)
-        dq_spec = pl.BlockSpec((1, s_pad, dh), lambda bh_i, i: (bh_i, 0, 0),
-                               memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            functools.partial(_fused_bwd_kernel, bq=bq, scale=dh ** -0.5,
-                              num_img=num_img, col_base=col_base,
-                              mask=mask),
-            grid=(b * h, n_blocks),
-            in_specs=[cm_spec, full(), kblk_in(), kblk_in(), full(),
-                      full(), lse_full],
-            out_specs=(dq_spec, kblk_out(), kblk_out()),
-            out_shape=(
-                jax.ShapeDtypeStruct((b * h, s_pad, dh), jnp.float32),
-                jax.ShapeDtypeStruct((b * h, n_blocks * bk, dh), kp.dtype),
-                jax.ShapeDtypeStruct((b * h, n_blocks * bk, dh), vp.dtype)),
-            cost_estimate=pl.CostEstimate(
-                flops=10 * b * h * s_pad * n_blocks * bk * dh,
-                bytes_accessed=5 * b * h * s_pad * dh * 2,
-                transcendentals=b * h * s_pad * n_blocks * bk,
-            ),
-            compiler_params=_PARALLEL_ROWS_ONLY,
-            interpret=_INTERPRET,
-        )(colmask, qp, kp, vp, gp, outp, lse)
-
-    if 0 < nk_free < nk:
-        dq_a, dk_a, dv_a = fused_call(nk_free, 0, mask=False)
-        dq_b, dk_b, dv_b = fused_call(nk - nk_free, nk_free * bk,
-                                      mask=True)
-        dq = (dq_a + dq_b).astype(qp.dtype)
-        dk = jnp.concatenate([dk_a, dk_b], axis=1)
-        dv = jnp.concatenate([dv_a, dv_b], axis=1)
-    else:
-        dq, dk, dv = fused_call(nk, 0, mask=True)
-        dq = dq.astype(qp.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, bq=bq, scale=dh ** -0.5,
+                          num_img=num_img, nk_free=nk_free, nk=nk),
+        grid=(b * h, nk),
+        in_specs=[cm_spec, full(), kblk(), kblk(), full(),
+                  full(), lse_full],
+        out_specs=(dq_spec, kblk(), kblk()),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, s_pad, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, s_pad, dh), kp.dtype),
+            jax.ShapeDtypeStruct((b * h, s_pad, dh), vp.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * s_pad * s_pad * dh,
+            bytes_accessed=5 * b * h * s_pad * dh * 2,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+        compiler_params=_PARALLEL_ROWS_ONLY,
+        interpret=_INTERPRET,
+    )(colmask, qp, kp, vp, gp, outp, lse)
 
     unpad = lambda x: x.reshape(b, h, s_pad, dh)[:, :, :s, :]
-    return unpad(dq), unpad(dk), unpad(dv)
+    return unpad(dq.astype(qp.dtype)), unpad(dk), unpad(dv)
 
 
 def _backward_split(res, g, num_img, bq, bk, b, h, s, dh):

@@ -174,7 +174,13 @@ def fetch_replicated(x: Any, mesh: Optional[Mesh]) -> np.ndarray:
 def pad_batch_to_multiple(batch: Any, multiple: int) -> Any:
     """Pad the leading axis of every array leaf to a multiple of the data
     axis size (uneven final batches would otherwise fail to shard).
-    Padded labels are set to -100 so they drop out of loss/metrics."""
+    Padded labels are set to -100 so they drop out of loss/metrics.
+
+    Library utility: validate() no longer calls it — its batch plan
+    tiles INDICES to a full final batch instead (eval_batch_plan), which
+    keeps prediction attribution positional.  Kept for external callers
+    that shard ad-hoc batches over a mesh (bench.py documents the same
+    divisibility rule)."""
     def pad(x, value=0):
         if not hasattr(x, "shape") or x.ndim == 0:
             return x

@@ -239,10 +239,11 @@ def test_git_greedy_generate_matches_hf(text_batch, pixels):
 
 
 def test_git_generate_with_padded_rows(text_batch, pixels):
-    """Batch-padding rows (prompt_len=0, as produced by
-    pad_batch_to_multiple in eval) must not disturb real rows' outputs
-    and must keep the last-token gather in-bounds (models/git.py
-    prompt_fill clamps prompt_len-1 to >= 0)."""
+    """Batch-padding rows (prompt_len=0 — pad_batch_to_multiple produces
+    these for ad-hoc batches; eval's index-tiled batch plan repeats real
+    rows instead) must not disturb real rows' outputs and must keep the
+    last-token gather in-bounds (models/git.py prompt_fill clamps
+    prompt_len-1 to >= 0)."""
     from sasvqa_tpu.models.git import greedy_generate
 
     fx = _fx_git()
