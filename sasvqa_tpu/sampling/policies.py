@@ -69,7 +69,16 @@ def sample_indices(policy: str, num_stored: int, nframe: int,
             f"weight frames (frame 0 has probability 0)")
         with np.errstate(divide="ignore"):  # log(0) -> -inf for frame 0
             logw = np.log(np.arange(num_stored, dtype=np.float64))
-        keys = logw + rng.gumbel(size=(batch_size, num_stored))
+        if isinstance(rng, (list, tuple)):
+            # one INDEPENDENT generator per row: eval passes per-(group,
+            # clip) seeded rngs so each row's draw depends only on its
+            # own identity — invariant to batch composition, process
+            # count, and plan padding (tasks/run_video_qa.validate)
+            assert len(rng) == batch_size, (len(rng), batch_size)
+            noise = np.stack([r.gumbel(size=num_stored) for r in rng])
+        else:
+            noise = rng.gumbel(size=(batch_size, num_stored))
+        keys = logw + noise
         order = np.argsort(-keys, axis=1)[:, :nframe]
         return order.astype(np.int32)
     if policy == "question-caption":

@@ -123,6 +123,12 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
     round-trip.  Assumes the mesh enumerates devices in process order
     (make_mesh over jax.devices() does) — the same assumption the
     training path's shard_batch makes.
+
+    Eval-time 'random'-policy frame draws are seeded per (group, clip)
+    (see clip_rngs below), so the SAME checkpoint scores identically
+    regardless of process count, eval batch size, or plan padding —
+    proven by tests/test_multihost_eval.py (2-process vs 1-process,
+    samp_policy='random') and the batch-size-invariance test there.
     """
     st = time.time()
     qa_results = []
@@ -139,9 +145,15 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
     global_bs = -(-max(eval_bs, n_dev) // n_dev) * n_dev
     assert global_bs % pc == 0, (global_bs, pc)
     rows = global_bs // pc
-    # deterministic eval-time frame sampling (policies like 'random'
-    # draw from this seeded rng)
-    eval_rng = np.random.default_rng(cfg.seed)
+    # deterministic eval-time frame sampling: 'random'-policy draws are
+    # seeded per (group, clip) — NOT one sequential stream — so a row's
+    # frames depend only on its own identity.  Eval scores are therefore
+    # invariant to process count, batch size, and plan padding (a tiled
+    # padding row repeats the real row's draws); a shared stream would
+    # advance differently per topology and per plan.
+    def clip_rngs(idx, clip: int):
+        return [np.random.default_rng((cfg.seed, int(i), clip))
+                for i in idx]
     # multi-clip ensemble eval: aggregate logits over n independent
     # frame samples per video (score_agg_func, configs/config.py:99-101)
     ensemble = int(cfg.get("inference_n_clips", 1)) \
@@ -178,7 +190,7 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
         # outcome: its random-substitution-on-error would otherwise
         # pick DIFFERENT videos per clip
         items = [dataset.get_group(int(i)) for i in local_idx]
-        raw = collator(items, rng=eval_rng)
+        raw = collator(items, rng=clip_rngs(local_idx, 0))
         # positional attribution contract: collated order must match the
         # batch plan (get_group never substitutes groups in eval mode —
         # data/dataset.py — so a mismatch here is a plumbing bug)
@@ -193,8 +205,8 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
             # extra clips re-run only the collator on the items read
             # above (frame re-sampling lives in the collator)
             dev = [logits_step(state, batch)]
-            for _ in range(ensemble - 1):
-                b2 = stage(collator(items, rng=eval_rng))
+            for c in range(1, ensemble):
+                b2 = stage(collator(items, rng=clip_rngs(local_idx, c)))
                 dev.append(logits_step(state, b2))
         else:
             dev, _ = eval_step(state, batch)

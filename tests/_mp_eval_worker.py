@@ -50,7 +50,7 @@ def main():
                  img_size=32,
                      val_batch_size=4, inference_batch_size=4,
                      do_inference=0, max_txt_len=12, nframe=2,
-                     samp_policy="uniform",
+                     samp_policy="random",
                      model=ConfigDict(pretrained_model="tiny-clip",
                                       vocab_size=512),
                      num_labels=1000, loss_type="ce", optim="adamw",
@@ -59,7 +59,7 @@ def main():
     family, model = build_model(cfg)
     tok = make_test_wordpiece()
     collator = ClassifierCollator(tok, max_txt_len=12, nframe=2,
-                                  samp_policy="uniform")
+                                  samp_policy="random")
 
     mesh = make_mesh()                      # 4 global devices, data axis
     import jax.numpy as jnp

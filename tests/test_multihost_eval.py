@@ -8,6 +8,12 @@ tasks/run_video_qa.validate over the same synthetic split, and asserts
 (every host can do model selection), and (b) they equal a
 single-process run of the same validate — sharded eval changes nothing
 but wall-clock.
+
+Runs with samp_policy='random' deliberately: eval frame draws are
+seeded per (group, clip) (run_video_qa.clip_rngs), so even the
+stochastic sampling policy must produce identical scores across
+topologies AND across eval batch sizes / plan padding (the r3 review
+found the original shared-stream rng broke exactly this).
 """
 
 import json
@@ -37,7 +43,7 @@ def synth_dir(tmp_path_factory):
     return str(root / "data")
 
 
-def _single_process_reference(synth_dir):
+def _single_process_reference(synth_dir, val_bs: int = 4):
     """Same validate, one process, 4 local devices (the conftest CPU
     harness gives 8)."""
     import jax
@@ -63,9 +69,9 @@ def _single_process_reference(synth_dir):
                         load_vidmapping(paths["vidmapping"]), ans2label,
                         return_label=True, is_train=False)
     cfg = ConfigDict(task="msvd_qa", seed=0, debug=False, img_size=32,
-                     val_batch_size=4, inference_batch_size=4,
+                     val_batch_size=val_bs, inference_batch_size=val_bs,
                      do_inference=0, max_txt_len=12, nframe=2,
-                     samp_policy="uniform",
+                     samp_policy="random",
                      model=ConfigDict(pretrained_model="tiny-clip",
                                       vocab_size=512),
                      num_labels=1000, loss_type="ce", optim="adamw",
@@ -74,7 +80,7 @@ def _single_process_reference(synth_dir):
     family, model = build_model(cfg)
     tok = make_test_wordpiece()
     collator = ClassifierCollator(tok, max_txt_len=12, nframe=2,
-                                  samp_policy="uniform")
+                                  samp_policy="random")
     mesh = make_mesh(devices=jax.devices("cpu")[:4])
     probe = collator([ds.get_group(0)], rng=np.random.default_rng(0))
     params = jax.jit(model.init)(
@@ -90,6 +96,18 @@ def _single_process_reference(synth_dir):
     return {"scores": res["scores"],
             "answers": {str(r["question_id"]): int(r["answer"])
                         for r in res["qa_results"]}}
+
+
+def test_random_policy_eval_invariant_to_batch_plan(synth_dir):
+    """The same checkpoint under samp_policy='random' must score
+    identically at different eval batch sizes — bs=5 over 12 groups
+    tiles 3 padding rows into the last planned batch and still may not
+    consume different draws for any real row (per-(group, clip) seeded
+    rngs, run_video_qa.clip_rngs)."""
+    a = _single_process_reference(synth_dir, val_bs=4)
+    b = _single_process_reference(synth_dir, val_bs=5)
+    assert a["answers"] == b["answers"]
+    assert a["scores"] == b["scores"]
 
 
 def test_two_process_validate_matches_single(synth_dir, tmp_path):
