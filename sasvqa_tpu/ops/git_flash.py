@@ -229,49 +229,64 @@ def _dq_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
 def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                 dk_ref, dv_ref, *, bq: int, scale: float, num_img: int,
-                col_base: int = 0, mask: bool = True):
+                nk_free: int, nk: int):
     """grid = (B*H, nk): dK/dV for one key block.
 
-    The mask decision is per KEY block = per program here, so the static
-    split happens at the pallas_call level (_backward launches a
-    mask-free call over the image-column prefix and a masked call over
-    the tail, offset by ``col_base`` blocks)."""
+    The mask decision is per KEY block = per program; like the fused
+    kernel, the image-prefix/masked-tail split is a program-level
+    ``pl.when`` pair inside ONE pallas_call (the r3 original launched
+    two calls and paid dK/dV concats for it)."""
     ki = pl.program_id(1)
     bk = k_ref.shape[1]
     k = k_ref[0]                                       # (BK, Dh) bf16
     v = v_ref[0]
     lq = q_ref.shape[1]
 
-    def body(i, carry):
-        dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * bq, bq), :]
-        do = do_ref[0, pl.ds(i * bq, bq), :]
-        o = o_ref[0, pl.ds(i * bq, bq), :]
-        lse = lse_ref[0, 0, pl.ds(i * bq, bq)]         # (BQ,)
-        d_row = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                        axis=-1)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        if mask:
-            s = _mask_block(s, i * bq, col_base + ki * bk, colmask_ref,
-                            num_img)
-        p = jnp.exp(s - lse[:, None])                  # (BQ, BK)
-        pc = p.astype(do.dtype)
-        dv_acc = dv_acc + jax.lax.dot_general(
-            pc, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (BK, Dh)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - d_row[:, None])                 # (BQ, BK)
-        dk_acc = dk_acc + jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (BK, Dh)
-        return dk_acc, dv_acc
+    def run(mask: bool):
+        def body(i, carry):
+            dk_acc, dv_acc = carry
+            q = q_ref[0, pl.ds(i * bq, bq), :]
+            do = do_ref[0, pl.ds(i * bq, bq), :]
+            o = o_ref[0, pl.ds(i * bq, bq), :]
+            lse = lse_ref[0, 0, pl.ds(i * bq, bq)]     # (BQ,)
+            d_row = jnp.sum(do.astype(jnp.float32)
+                            * o.astype(jnp.float32), axis=-1)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if mask:
+                s = _mask_block(s, i * bq, ki * bk, colmask_ref,
+                                num_img)
+            p = jnp.exp(s - lse[:, None])              # (BQ, BK)
+            pc = p.astype(do.dtype)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                pc, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (BK, Dh)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - d_row[:, None])             # (BQ, BK)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (BK, Dh)
+            return dk_acc, dv_acc
 
-    z = jnp.zeros((bk, k.shape[1]), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, lq // bq, body, (z, z))
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        z = jnp.zeros((bk, k.shape[1]), jnp.float32)
+        dk, dv = jax.lax.fori_loop(0, lq // bq, body, (z, z))
+        dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    if nk_free <= 0:
+        run(True)
+    elif nk_free >= nk:
+        run(False)
+    else:
+        @pl.when(ki < nk_free)
+        def _free():
+            run(False)
+
+        @pl.when(ki >= nk_free)
+        def _masked():
+            run(True)
 
 
 def _fused_bwd_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
@@ -541,42 +556,25 @@ def _backward_split(res, g, num_img, bq, bk, b, h, s, dh):
         interpret=_INTERPRET,
     )(colmask, qp, kp, vp, gp, outp, lse)
 
-    # dK/dV: the mask decision is per key block, so split statically into
-    # a mask-free call over the all-image-column prefix and a masked call
-    # over the tail (same rationale as _n_unmasked_blocks)
+    # dK/dV: the mask decision is per key block — the pl.when split on
+    # the image-column prefix lives inside the kernel (one call)
     nk = s_pad // bk
     nk_free = _n_unmasked_blocks(num_img, bk, nk)
-
-    def dkv_call(n_blocks, col_base, mask):
-        kblk_in = lambda: pl.BlockSpec(
-            (1, bk, dh),
-            lambda bh_i, i, o=col_base // bk: (bh_i, i + o, 0),
-            memory_space=pltpu.VMEM)
-        kblk_out = lambda: pl.BlockSpec(
-            (1, bk, dh), lambda bh_i, i: (bh_i, i, 0),
-            memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            functools.partial(_dkv_kernel, bq=bq, scale=dh ** -0.5,
-                              num_img=num_img, col_base=col_base,
-                              mask=mask),
-            grid=(b * h, n_blocks),
-            in_specs=[cm_spec, full(), kblk_in(), kblk_in(), full(),
-                      full(), lse_full],
-            out_specs=(kblk_out(), kblk_out()),
-            out_shape=(
-                jax.ShapeDtypeStruct((b * h, n_blocks * bk, dh), kp.dtype),
-                jax.ShapeDtypeStruct((b * h, n_blocks * bk, dh), vp.dtype)),
-            compiler_params=_PARALLEL2,
-            interpret=_INTERPRET,
-        )(colmask, qp, kp, vp, gp, outp, lse)
-
-    if 0 < nk_free < nk:
-        dk_a, dv_a = dkv_call(nk_free, 0, mask=False)
-        dk_b, dv_b = dkv_call(nk - nk_free, nk_free * bk, mask=True)
-        dk = jnp.concatenate([dk_a, dk_b], axis=1)
-        dv = jnp.concatenate([dv_a, dv_b], axis=1)
-    else:
-        dk, dv = dkv_call(nk, 0, mask=True)
+    kblk = lambda: pl.BlockSpec((1, bk, dh), lambda bh_i, i: (bh_i, i, 0),
+                                memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, bq=bq, scale=dh ** -0.5,
+                          num_img=num_img, nk_free=nk_free, nk=nk),
+        grid=(b * h, nk),
+        in_specs=[cm_spec, full(), kblk(), kblk(), full(),
+                  full(), lse_full],
+        out_specs=(kblk(), kblk()),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, s_pad, dh), kp.dtype),
+            jax.ShapeDtypeStruct((b * h, s_pad, dh), vp.dtype)),
+        compiler_params=_PARALLEL2,
+        interpret=_INTERPRET,
+    )(colmask, qp, kp, vp, gp, outp, lse)
 
     unpad = lambda x: x.reshape(b, h, s_pad, dh)[:, :, :s, :]
     return unpad(dq), unpad(dk), unpad(dv)
