@@ -386,14 +386,22 @@ class DevicePrefetcher:
 
         Consumers that break out of the iteration early (fixed-step
         training loops) must call this, otherwise up to ``depth`` fully
-        staged batches stay pinned in device memory."""
+        staged batches stay pinned in device memory.
+
+        Order matters: JOIN the producer first, THEN drain.  Draining
+        first opens a race — a producer blocked in ``put`` wakes on the
+        freed slot and re-inserts a fully staged batch *after* the
+        drain, leaving it pinned for the rest of the run (found by r3
+        review).  With ``_stop`` set and no consumer, the blocked put
+        can only time out and exit via the stop check, so the join
+        completes and the drain then observes the final queue state."""
         self._stop.set()
+        self._thread.join(timeout=5)
         while True:
             try:
                 self._q.get_nowait()
             except queue.Empty:
                 break
-        self._thread.join(timeout=5)
 
     def __iter__(self):
         return self

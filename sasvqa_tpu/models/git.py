@@ -318,15 +318,19 @@ class GITForCausalLM(nn.Module):
             pad = max_text_len - lp
             txt_kv.append((jnp.pad(k[:, :, m:], ((0, 0), (0, 0), (0, pad), (0, 0))),
                            jnp.pad(v[:, :, m:], ((0, 0), (0, 0), (0, pad), (0, 0)))))
-        logits = self.output(h[:, m:]).astype(jnp.float32)  # (B, Lp, V)
-        # logits at each prompt's last token predict the first new token;
-        # clamp so batch-padding rows (prompt_len=0) read position 0
-        # instead of wrapping to -1 (their output is discarded upstream,
-        # but the gather must stay in-bounds)
+        # only each prompt's LAST-token hidden state is read (it predicts
+        # the first new token), so gather that row BEFORE the (D -> V)
+        # vocab projection — same "project only what gets read" rule the
+        # training path applies to its loss positions above.  Clamp so
+        # batch-padding rows (prompt_len=0) read position 0 instead of
+        # wrapping to -1 (their output is discarded upstream, but the
+        # gather must stay in-bounds).
         last_pos = jnp.maximum(prompt_len - 1, 0)
-        last = jnp.take_along_axis(
-            logits, last_pos[:, None, None].repeat(
-                logits.shape[-1], axis=-1), axis=1)[:, 0]
+        h_txt = h[:, m:]                               # (B, Lp, D)
+        h_last = jnp.take_along_axis(
+            h_txt, last_pos[:, None, None].repeat(h_txt.shape[-1],
+                                                  axis=-1), axis=1)
+        last = self.output(h_last).astype(jnp.float32)[:, 0]  # (B, V)
         cache = {"img_kv": img_kv, "txt_kv": txt_kv, "cur_len": prompt_len}
         return last, cache
 

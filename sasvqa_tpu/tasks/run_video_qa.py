@@ -159,12 +159,15 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
     ensemble = int(cfg.get("inference_n_clips", 1)) \
         if family != "git" and not n_options and logits_step else 1
 
-    from sasvqa_tpu.data.pipeline import eval_batch_plan
+    from sasvqa_tpu.data.pipeline import DevicePrefetcher, eval_batch_plan
     from sasvqa_tpu.parallel.mesh import fetch_replicated, shard_batch
 
     def stage(batch):
-        batch.pop("question_ids", None)
-        batch.pop("n_examples_list", None)
+        # single source of truth for host-only keys: the training
+        # prefetcher's contract (a new host key added there must not
+        # leak into the jitted eval batch here)
+        for k in DevicePrefetcher.HOST_KEYS:
+            batch.pop(k, None)
         arrays = {k: v for k, v in batch.items() if v is not None}
         if mesh is not None:
             arrays = shard_batch(arrays, mesh)

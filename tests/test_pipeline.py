@@ -191,6 +191,29 @@ def test_prefetcher_close_unblocks_producer():
     assert not pf._thread.is_alive()
 
 
+def test_prefetcher_close_releases_all_staged_batches():
+    """close() must leave the queue EMPTY even when the producer is
+    blocked mid-put: the old drain-before-join order let the woken
+    producer re-insert a fully staged batch after the drain, pinning it
+    in device memory for the rest of the run (r3 review finding)."""
+    import time
+
+    def gen():
+        for i in range(100):
+            yield {"x": np.zeros((1,), np.float32)}
+
+    pf = DevicePrefetcher(gen(), mesh=None, depth=1)
+    # let the producer fill the single slot and block in put() on the
+    # next batch — the exact steady state a fixed-step loop breaks in
+    deadline = time.time() + 5
+    while pf._q.qsize() < 1 and time.time() < deadline:
+        time.sleep(0.01)
+    time.sleep(0.3)   # ensure it is parked inside put(timeout=0.2)
+    pf.close()
+    assert not pf._thread.is_alive()
+    assert pf._q.qsize() == 0, "staged batch re-inserted after drain"
+
+
 def test_prefetcher_none_passthrough():
     def gen():
         yield {"x": np.zeros((2, 2), np.float32), "labels": None}
