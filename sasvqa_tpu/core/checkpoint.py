@@ -76,7 +76,15 @@ class TrainingRestorer:
         return int(latest) if latest is not None else 0
 
     def force_save(self, step: int, state: Any) -> None:
-        self._mgr.save(max(int(step), 1), args=ocp.args.StandardSave(
+        if int(step) < 1:
+            # a step-0 forced save would have to be relabeled (Orbax's
+            # latest_step=None/0 ambiguity reserves 0 for "no
+            # checkpoint"), breaking the label==content invariant; a
+            # fresh state needs no checkpoint — resuming from nothing
+            # is identical (r3 review finding)
+            LOGGER.info("force_save skipped at step 0 (fresh state)")
+            return
+        self._mgr.save(int(step), args=ocp.args.StandardSave(
             {"params": state.params, "opt_state": state.opt_state,
              "step": state.step}), force=True)
 

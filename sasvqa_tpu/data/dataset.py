@@ -69,7 +69,9 @@ class VideoQADataset:
         vid, examples = self.datalist[index]
         try:
             frames = self.store.read_nhwc(self.vid2id[vid])  # (K, H, W, 3)
-        except (KeyError, OSError) as e:
+        except (KeyError, IndexError, OSError) as e:
+            # IndexError: h5py's out-of-range row error for a stale
+            # vidmapping pointing past the store (r3 review finding)
             # substitution is a TRAIN-only recovery: the eval loop
             # attributes predictions by batch-plan position (multi-host
             # hosts can't see each other's substitutions), so a silent
@@ -117,6 +119,14 @@ def _resample_frames(items: List[Dict[str, Any]], policy: str, nframe: int,
     b, k = frames.shape[:2]
     sampled_inds = None
     if policy == "question-caption":
+        missing = [i for i, d in enumerate(items)
+                   if d.get("sampled_inds") is None]
+        if missing:
+            raise ValueError(
+                "samp_policy='question-caption' (MIF) needs per-question "
+                f"'sampled_inds' but {len(missing)} of {len(items)} "
+                "groups lack them — run tools/gen_sample (gen_cap + "
+                "gen_inds) first, or pick another samp_policy")
         sampled_inds = np.stack(
             [np.asarray(d["sampled_inds"]) for d in items])
     inds = policies.sample_indices(policy, k, nframe, rng=rng,

@@ -120,12 +120,22 @@ class WordPieceTokenizer:
         before special tokens, so the [CLS]/[SEP] structure survives."""
         ids = [self.vocab.get(t, self.unk_token_id)
                for t in self.tokenize(text)]
-        if not add_special_tokens:
-            return ids if max_length is None else ids[:max_length]
         pair = None
         if text_pair is not None:
             pair = [self.vocab.get(t, self.unk_token_id)
                     for t in self.tokenize(text_pair)]
+        if not add_special_tokens:
+            # pair still concatenates (HF semantics) — the early return
+            # used to drop it silently (r3 review finding)
+            if pair is not None:
+                if max_length is not None:
+                    while len(ids) + len(pair) > max_length:
+                        if len(ids) >= len(pair):
+                            ids = ids[:-1]
+                        else:
+                            pair = pair[:-1]
+                return ids + pair
+            return ids if max_length is None else ids[:max_length]
         if max_length is not None:
             n_special = 2 + (1 if pair is not None else 0)
             budget = max(max_length - n_special, 0)
@@ -203,11 +213,21 @@ class CLIPBPETokenizer:
     CLIP checkpoint directory.
     """
 
-    # unicode-aware approximation of HF's \p{L}+ | \p{N} | punctuation-run
-    # ([^\W\d_]+ == unicode letters; underscore routed to the symbol run)
-    _PAT = re.compile(
-        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-        r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+", re.IGNORECASE | re.UNICODE)
+    # HF CLIP's exact pre-tokenization pattern needs \p{L}/\p{N}; the
+    # `regex` module (a transformers dependency, so present wherever HF
+    # is) provides them.  The `re` fallback approximates with
+    # [^\W\d_]+ (unicode letters) and \d — divergence: No/Nl number
+    # characters ('½', Roman numerals) land in the letter run there
+    # instead of standing alone (r3 review finding).
+    try:
+        import regex as _regex
+        _PAT = _regex.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+            r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+", _regex.IGNORECASE)
+    except ImportError:  # pragma: no cover - regex ships with HF
+        _PAT = re.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+            r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+", re.IGNORECASE | re.UNICODE)
 
     def __init__(self, vocab: Dict[str, int], merges: List[str]):
         self.encoder = vocab
@@ -227,8 +247,11 @@ class CLIPBPETokenizer:
             vocab = json.load(f)
         with open(merges_txt, encoding="utf-8") as f:
             merges = f.read().split("\n")
-        # strip header + trailing blanks
-        merges = [m for m in merges[1:] if m and not m.startswith("#")]
+        # HF CLIPTokenizer skips exactly the first line (the "#version"
+        # header) and nothing else — a '#'-prefix filter here silently
+        # dropped legitimate merge rules whose first symbol is the '#'
+        # character (r3 review finding)
+        merges = [m for m in merges[1:] if m.strip()]
         return cls(vocab, merges)
 
     def bpe(self, token: str) -> str:

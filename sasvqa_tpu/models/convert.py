@@ -18,7 +18,7 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import numpy as np
 
@@ -272,7 +272,8 @@ def convert_clip_video_qa(sd: Dict[str, Any], num_text_layers: int,
 
 
 def merge_pretrained(init_params: Dict[str, Any],
-                     converted: Dict[str, Any]) -> Dict[str, Any]:
+                     converted: Dict[str, Any],
+                     ) -> Tuple[Dict[str, Any], Dict[str, list]]:
     """Overlay converted weights onto an init param tree, keeping any
     missing leaves (e.g. classifier head) from init.
 

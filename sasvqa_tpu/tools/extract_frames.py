@@ -97,7 +97,6 @@ class MDFEncoder:
         import jax.numpy as jnp
         from sasvqa_tpu.models.clip import CLIPVisionEncoder
         from sasvqa_tpu.models.git import GIT_BASE
-        from sasvqa_tpu.sampling.mdf import mdf_select
 
         self.k, self.window, self.interval = k, window, interval
         vision_cfg = GIT_BASE.vision
@@ -159,6 +158,18 @@ class MDFEncoder:
         n = frames.shape[0]
         if n == 0:
             return np.zeros((self.k,), np.int64), True
+        if n > BUCKETS[-1]:
+            # decode_video's default max_frames (4096) exceeds the
+            # largest compile bucket; without this clamp padded[:n]
+            # raised a broadcast ValueError and killed the run (r3
+            # review finding).  MDF over the first 2048 decoded frames
+            # still sees ~70s of video at intv=1 — log, don't crash.
+            LOGGER.warning(
+                f"MDF: clamping {n} decoded frames to the largest "
+                f"compile bucket ({BUCKETS[-1]}); increase --intv to "
+                "cover longer videos at full span")
+            frames = frames[:BUCKETS[-1]]
+            n = frames.shape[0]
         w = max(n // self.interval, 1) if self.window == -1 else self.window
         b = bucket_for(n)
         padded = np.zeros((b,) + frames.shape[1:], frames.dtype)
@@ -193,6 +204,10 @@ def extract(video_paths: List[str], out_dir: str, args) -> Dict[str, int]:
     h5_out = os.path.join(out_dir,
                           f"{args.dataset}_video_feat.h5")
     map_out = os.path.join(out_dir, "vidmapping.json")
+    # reference-exact id derivation (extract_features.py:28:
+    # path.split('/')[-1].split('.')[0]) — NOTE this truncates at the
+    # FIRST dot, so 'clip.v2.mp4' maps as 'clip'; kept because the
+    # annotation side strips ids the same way (run_video_qa.py:69)
     video_ids = [os.path.basename(p).split(".")[0] for p in video_paths]
     save_vidmapping(video_ids, map_out)
 

@@ -72,6 +72,35 @@ def test_group_and_chunk(synth):
     assert all(len(exs) == 1 for _, exs in groups_eval)
 
 
+def test_stale_vidmapping_substitutes_in_train(synth):
+    """A vidmapping row beyond the store raises h5py IndexError — train
+    must substitute (like KeyError/OSError), eval must fail fast with
+    the clear message (r3 review finding)."""
+    from sasvqa_tpu.data.annotations import load_datalist as _ld
+    vid2id = load_vidmapping(synth["vidmapping"])
+    first_vid = _ld("msvd_qa", synth["train"])[0]["video_id"]
+    stale = dict(vid2id)
+    stale[first_vid] = 5000  # way past the 4-row store
+    ds = _make_dataset(synth, vid2id=stale, is_train=True)
+    g = ds.get_group(0)      # substituted, not crashed
+    assert g["n_examples"] >= 1
+    ds_eval = _make_dataset(synth, vid2id=stale, is_train=False)
+    with pytest.raises(RuntimeError, match="eval never substitutes"):
+        ds_eval.get_group(0)
+
+
+def test_mif_policy_missing_sampled_inds_clear_error(synth):
+    """question-caption without precomputed sampled_inds must raise a
+    pointed error at the collator, not a cryptic failure deep in index
+    math (r3 review finding)."""
+    from sasvqa_tpu.data.tokenization import make_test_wordpiece
+    ds = _make_dataset(synth, with_sampled_inds=False)
+    coll = ClassifierCollator(make_test_wordpiece(), max_txt_len=12,
+                              nframe=2, samp_policy="question-caption")
+    with pytest.raises(ValueError, match="sampled_inds"):
+        coll([ds.get_group(0)], rng=np.random.default_rng(0))
+
+
 def test_frame_store_roundtrip(synth):
     reader = FrameStoreReader(synth["h5"])
     assert reader.shape == (4, 8, 3 * 16 * 16)
@@ -91,13 +120,18 @@ def test_frame_store_reader_picklable_with_open_handle(synth):
     np.testing.assert_array_equal(clone.read_nhwc(1), before)
 
 
-def _make_dataset(synth, is_train=True):
+def _make_dataset(synth, is_train=True, vid2id=None,
+                  with_sampled_inds=True):
     dl = load_datalist("msvd_qa", synth["train"])
+    if not with_sampled_inds:
+        for d in dl:
+            d.pop("sampled_inds", None)
     groups = group_datalist(dl, 1, is_train=is_train)
     ans2label = build_common_answer_dict([synth["train"]], 1000)
+    if vid2id is None:
+        vid2id = load_vidmapping(synth["vidmapping"])
     return VideoQADataset("msvd_qa", groups, FrameStoreReader(synth["h5"]),
-                          load_vidmapping(synth["vidmapping"]), ans2label,
-                          is_train=is_train)
+                          vid2id, ans2label, is_train=is_train)
 
 
 def test_classifier_collator_shapes(synth):

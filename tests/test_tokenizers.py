@@ -93,3 +93,56 @@ def test_clip_bpe_padding_and_mask(clip_files):
 
 def test_basic_tokenize_strips_accents():
     assert basic_tokenize("Héllo, WORLD") == ["hello", ",", "world"]
+
+
+def test_wordpiece_pair_without_special_tokens(wp_vocab_file):
+    """encode(text, pair, add_special_tokens=False) must concatenate
+    both sequences like HF — the early return used to drop the pair
+    silently (r3 review finding)."""
+    from transformers import BertTokenizer
+    hf = BertTokenizer(wp_vocab_file, do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(wp_vocab_file)
+    got = ours.encode(SENTENCES[0], text_pair=SENTENCES[2],
+                      add_special_tokens=False)
+    ref = hf.encode(SENTENCES[0], SENTENCES[2], add_special_tokens=False)
+    assert got == ref
+
+
+def test_clip_bpe_hash_merge_rules_kept(tmp_path):
+    """merges.txt lines whose first symbol is the literal '#' character
+    are real BPE rules, not comments — only the single '#version'
+    header line is skipped (HF CLIPTokenizer semantics; the old
+    startswith('#') filter dropped them, r3 review finding)."""
+    from transformers import CLIPTokenizer
+    chars = list("abc#")
+    vocab = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+        vocab[c + "</w>"] = len(vocab)
+    merges = ["# #</w>", "a b"]
+    for m in merges:
+        tok = m.replace(" ", "")
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    vpath, mpath = tmp_path / "vocab.json", tmp_path / "merges.txt"
+    vpath.write_text(json.dumps(vocab))
+    mpath.write_text("#version: 0.2\n" + "\n".join(merges) + "\n")
+
+    ours = CLIPBPETokenizer.from_files(str(vpath), str(mpath))
+    assert ("#", "#</w>") in ours.bpe_ranks  # the rule survived loading
+    hf = CLIPTokenizer(str(vpath), str(mpath))
+    for s in ["##", "ab ##", "#"]:
+        got = ([ours.bos_token_id] + ours.tokenize_ids(s)
+               + [ours.eos_token_id])
+        assert got == hf.encode(s), (s, got, hf.encode(s))
+
+
+def test_clip_bpe_pretokenizer_number_categories():
+    """With the `regex` module (a transformers dependency) the
+    pre-tokenizer uses HF's exact \\p{L}/\\p{N} pattern: No/Nl number
+    characters stand alone instead of gluing into letter runs."""
+    pytest.importorskip("regex")
+    got = CLIPBPETokenizer._PAT.findall("½cup of tea xii")
+    assert got[:2] == ["½", "cup"], got
