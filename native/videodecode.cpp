@@ -112,6 +112,16 @@ int vd_read_frames(void* handle, int interval, int max_frames, int out_w,
   auto* d = static_cast<Decoder*>(handle);
   if (!d || interval < 1 || max_frames < 1) return -1;
   if (!ensure_sws(d, out_w, out_h)) return -2;
+  // rewind: a handle previously drained by read_frames/read_window would
+  // otherwise resume at EOF and return 0 frames, silently diverging from
+  // the stateless cv2 fallback (fresh VideoCapture per call).  Best
+  // effort — unseekable streams keep the old first-call-only behavior.
+  AVStream* rst = d->fmt->streams[d->stream_index];
+  int64_t first_ts =
+      rst->start_time != AV_NOPTS_VALUE ? rst->start_time : 0;
+  if (av_seek_frame(d->fmt, d->stream_index, first_ts,
+                    AVSEEK_FLAG_BACKWARD) >= 0)
+    avcodec_flush_buffers(d->codec);
 
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
@@ -163,7 +173,13 @@ int vd_read_window(void* handle, double start_sec, double end_sec,
   if (!ensure_sws(d, out_w, out_h)) return -2;
   AVStream* st = d->fmt->streams[d->stream_index];
   double tb = av_q2d(st->time_base);
-  int64_t start_ts = static_cast<int64_t>(start_sec / tb);
+  // window times are STREAM-RELATIVE (matching the cv2 fallback's
+  // CAP_PROP_POS_MSEC clock): containers with edit lists / leading audio
+  // have nonzero start_time, which must offset both the seek target and
+  // the per-frame timestamps or the window silently shifts
+  int64_t start_off =
+      st->start_time != AV_NOPTS_VALUE ? st->start_time : 0;
+  int64_t start_ts = static_cast<int64_t>(start_sec / tb) + start_off;
   av_seek_frame(d->fmt, d->stream_index, start_ts, AVSEEK_FLAG_BACKWARD);
   avcodec_flush_buffers(d->codec);
 
@@ -176,8 +192,13 @@ int vd_read_window(void* handle, double start_sec, double end_sec,
   int strides[1] = {out_w * 3};
   bool past_end = false;
 
+  double last_t = start_sec;  // monotonic fallback for NOPTS frames
   auto consume = [&](AVFrame* f) {
-    double t = f->best_effort_timestamp * tb;
+    double t = f->best_effort_timestamp == AV_NOPTS_VALUE
+                   ? last_t  // unknown pts: assume it follows its
+                             // neighbor rather than dropping the frame
+                   : (f->best_effort_timestamp - start_off) * tb;
+    last_t = t;
     if (t > end_sec) {
       past_end = true;
       return;

@@ -99,7 +99,12 @@ def build_shared_parser(desc: str = "sasvqa_tpu shared config") -> argparse.Argu
     """Shared flags, mirroring the reference's SharedConfigs inventory
     (reference: src/configs/config.py:42-232) minus dead detectron2/CNN
     options, plus TPU-specific ones."""
-    p = argparse.ArgumentParser(description=desc)
+    # allow_abbrev=False: argparse prefix matching (e.g. --learning for
+    # --learning_rate) would record the ABBREVIATED spelling in argv, so
+    # parse_with_config's override_keys scan would miss it and the JSON
+    # value would silently beat the explicit CLI flag — inverting the
+    # documented CLI > JSON precedence (r3 review finding)
+    p = argparse.ArgumentParser(description=desc, allow_abbrev=False)
     # debug
     p.add_argument("--debug", type=int, choices=[0, 1], default=0,
                    help="debug mode: break train loop after 3 steps, val after 5")

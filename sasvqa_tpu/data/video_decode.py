@@ -93,6 +93,7 @@ class VideoDecoder:
         else:
             w, h = out_size
         if self._h:
+            max_frames = self._cap_rows(interval, max_frames)
             buf = np.empty((max_frames, h, w, 3), dtype=np.uint8)
             n = _LIB.vd_read_frames(
                 self._h, interval, max_frames, w, h,
@@ -101,6 +102,17 @@ class VideoDecoder:
                 raise IOError(f"decode error {n} on {self.path}")
             return buf[:n].copy()
         return self._cv2_read(interval, max_frames, (w, h))
+
+    def _cap_rows(self, interval: int, max_frames: int) -> int:
+        """Bound the output buffer by the container's frame count when
+        recorded: a full-resolution 4096-row default buffer is ~25 GB at
+        1080p (r3 review finding).  nb_frames is metadata and can
+        UNDERcount on some muxers, so keep a small slack; unknown
+        (nb == 0) keeps the caller's max_frames."""
+        _, _, _, nb = self.info()
+        if nb <= 0:
+            return max_frames
+        return max(1, min(max_frames, -(-nb // interval) + 8))
 
     def read_window(self, start_sec: float, end_sec: float,
                     interval: int = 1, max_frames: int = 4096,
@@ -175,6 +187,15 @@ class VideoDecoder:
         if self._h:
             _LIB.vd_close(self._h)
             self._h = None
+
+    def __del__(self):
+        # self-cleaning handle: callers that skip the context manager
+        # must not leak the three libav contexts per video (fd
+        # exhaustion over a 10k-video sweep, r3 review finding)
+        try:
+            self.close()
+        except Exception:  # interpreter teardown may have freed _LIB
+            pass
 
     def __enter__(self):
         return self

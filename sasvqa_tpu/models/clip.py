@@ -83,6 +83,14 @@ class CLIPTextEncoder(nn.Module):
         is projected to the shared space when with_projection."""
         cfg = self.config
         b, l = input_ids.shape
+        # trace-time guard: JAX clamps out-of-bounds embedding gathers
+        # under jit, so max_txt_len > max_position_embeddings (77 for
+        # CLIP) would silently reuse the last position embedding for
+        # every extra token instead of erroring like HF (r3 review
+        # finding).  l is a static shape — this costs nothing compiled.
+        assert l <= cfg.max_position_embeddings, (
+            f"text length {l} exceeds max_position_embeddings "
+            f"{cfg.max_position_embeddings} — lower --max_txt_len")
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
                        name="token_embedding")(input_ids)
         pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,

@@ -299,6 +299,20 @@ def start_training(cfg) -> Dict[str, Any]:
         anno_files = (cfg.train_datasets[0].txt,)
         ans2label = build_common_answer_dict(anno_files, 1000)
 
+    if not is_mc and len(ans2label) > cfg.num_labels:
+        # must not be silent: label indices >= num_labels would clamp
+        # inside the jitted CE gather (take_along_axis clips out-of-
+        # bounds under jit), training every overflow answer against the
+        # last logit (r3 review finding; the reference's fixed-1000
+        # head would throw torch device asserts on the same input).
+        # num_labels is task-derived, not a flag — grow it to fit.
+        LOGGER.warning(
+            f"answer vocabulary ({len(ans2label)} entries, "
+            f"ans2label_path) exceeds the task's num_labels floor "
+            f"({cfg.num_labels}); growing the classifier to "
+            f"{len(ans2label)} outputs")
+        cfg.num_labels = len(ans2label)
+
     dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32
     family, model = build_model(cfg, dtype=dtype)
     if is_mc and family == "git":

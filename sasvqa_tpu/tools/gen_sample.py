@@ -62,7 +62,7 @@ def run_gen_cap(args) -> Dict[str, List[str]]:
     bsz = rows_per * k
     ids0 = jnp.full((bsz, 1), tok.cls_token_id, jnp.int32)
     plen = jnp.ones((bsz,), jnp.int32)
-    params = jax.jit(model.init)(jax.random.key(0), ids0,
+    params = jax.jit(model.init)(jax.random.key(args.seed), ids0,
                                  jnp.ones_like(ids0),
                                  jnp.zeros((bsz, 1, hw, hw, 3)))
     if args.weights:
@@ -104,6 +104,14 @@ def run_gen_inds(args) -> None:
                                         BERTForSequenceClassification,
                                         convert_bert_classifier)
 
+    if "bert" not in args.sim_model.lower():
+        # the rebuilt scorer is a fixed BERT-base architecture; reject
+        # a non-BERT --sim_model loudly instead of silently loading
+        # --weights into the wrong shape (r3 review finding)
+        raise ValueError(
+            f"--sim_model {args.sim_model!r}: only BERT-base-class "
+            "scorers are supported (the reference default "
+            "iarfmoose/bert-base-cased-qa-evaluator is one)")
     tok = _tokenizer(args)
     vocab_size = max(tok.vocab.values()) + 1
     cfg = BERTConfig(vocab_size=vocab_size) if not args.tiny else \
@@ -112,7 +120,7 @@ def run_gen_inds(args) -> None:
                    max_position_embeddings=128)
     model = BERTForSequenceClassification(cfg)
     dummy = jnp.zeros((1, 8), jnp.int32)
-    params = jax.jit(model.init)(jax.random.key(0), dummy,
+    params = jax.jit(model.init)(jax.random.key(args.seed), dummy,
                                  jnp.ones((1, 8), jnp.int32))
     if args.weights:
         from sasvqa_tpu.models.convert import merge_pretrained
@@ -134,18 +142,28 @@ def run_gen_inds(args) -> None:
         raise ValueError("supported datasets: msvd_qa, msrvtt_qa")
 
     # captions are keyed by h5 row (run_gen_cap); translate annotation
-    # video ids through vidmapping (video-id -> row)
-    vid2row = None
-    if args.vid_mapping and os.path.exists(args.vid_mapping):
-        vid2row = load_json(args.vid_mapping)
+    # video ids through vidmapping (video-id -> row).  The mapping is
+    # REQUIRED: silently falling back to the raw annotation id either
+    # KeyErrors mid-split or — for numeric video ids — collides with an
+    # unrelated h5 row and scores every QA pair against the wrong
+    # video's captions (r3 review finding)
+    if not (args.vid_mapping and os.path.exists(args.vid_mapping)):
+        raise FileNotFoundError(
+            f"vidmapping not found at {args.vid_mapping!r} — run "
+            "tools/extract_frames (stage A) first; gen_inds keys "
+            "captions by h5 row through it")
+    vid2row = load_json(args.vid_mapping)
 
     def caption_key(sample):
         raw = sample[vid_name]
         vid_id = (str(raw).split(".")[0] if args.dataset == "msvd_qa"
                   else f"video{raw}")
-        if vid2row is not None and vid_id in vid2row:
-            return str(vid2row[vid_id])
-        return vid_id
+        if vid_id not in vid2row:
+            raise KeyError(
+                f"video id {vid_id!r} missing from vidmapping "
+                f"({args.vid_mapping}) — the annotation references a "
+                "video stage A never extracted")
+        return str(vid2row[vid_id])
 
     # params go through the jit boundary as an ARGUMENT: closure capture
     # would bake the ~110M-param BERT tree into the HLO as constants and
@@ -177,7 +195,12 @@ def build_argparser():
                    default="gen_cap")
     p.add_argument("--vlm_model", default="microsoft/git-base-coco")
     p.add_argument("--sim_model",
-                   default="iarfmoose/bert-base-cased-qa-evaluator")
+                   default="iarfmoose/bert-base-cased-qa-evaluator",
+                   help="stage-2 scorer name (reference gen_sample.py:"
+                        "113). NOTE: the rebuilt scorer architecture is "
+                        "fixed to BERT-base dims — this flag only "
+                        "documents which checkpoint --weights should "
+                        "point at; a non-BERT-base name is rejected")
     p.add_argument("--weights", default=None,
                    help="local HF checkpoint for the captioner/scorer")
     p.add_argument("--tokenizer_dir", default=None)

@@ -90,3 +90,16 @@ def test_load_config(tmp_path):
     cfg = load_config(path, seed=7)
     assert cfg.seed == 7
     assert cfg.model.img_len == 6
+
+
+def test_abbreviated_flags_rejected(tmp_path):
+    """allow_abbrev=False: an abbreviated flag (--train_batch for
+    --train_batch_size) must be rejected, because argparse would accept
+    it while parse_with_config's argv scan records only the abbreviated
+    spelling — letting the JSON silently beat the explicit CLI value
+    and inverting the documented CLI > JSON precedence (r3 review
+    finding)."""
+    import pytest
+    path = _write_cfg(tmp_path)
+    with pytest.raises(SystemExit):
+        get_video_qa_args(["--config", path, "--train_batch", "99"])

@@ -96,3 +96,29 @@ def test_window_decode_cv2_fallback_empty_window(video_path):
         out = dec.read_window(50.0, 60.0)   # past end of a 3 s video
     assert out.shape == (0, 48, 64, 3)
     assert out.dtype == np.uint8
+
+
+def test_repeat_reads_on_one_handle(video_path):
+    """The native handle must rewind per call: a second read_frames (or
+    read_frames after read_window) returns the same frames as the first
+    — the old shim resumed at EOF and returned nothing (r3 review
+    finding; the cv2 fallback was always stateless)."""
+    with VideoDecoder(video_path) as dec:
+        a = dec.read_frames()
+        _ = dec.read_window(0.5, 1.5)
+        b = dec.read_frames()
+    assert a.shape == (30, 48, 64, 3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_output_buffer_capped_by_container_frame_count(video_path):
+    """read_frames must not allocate the full default 4096-row buffer
+    when the container records the (30-) frame count (r3 review
+    finding: ~25 GB per call at 1080p)."""
+    with VideoDecoder(video_path) as dec:
+        if dec._h:
+            assert dec._cap_rows(1, 4096) <= 30 + 8
+            assert dec._cap_rows(3, 4096) <= 10 + 8
+            assert dec._cap_rows(1, 5) == 5   # caller cap still wins
+        frames = dec.read_frames()
+    assert frames.shape[0] == 30
