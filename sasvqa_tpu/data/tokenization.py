@@ -130,7 +130,7 @@ class WordPieceTokenizer:
             if pair is not None:
                 if max_length is not None:
                     while len(ids) + len(pair) > max_length:
-                        if len(ids) >= len(pair):
+                        if len(ids) > len(pair):  # HF ties trim the pair
                             ids = ids[:-1]
                         else:
                             pair = pair[:-1]
@@ -143,7 +143,7 @@ class WordPieceTokenizer:
                 ids = ids[:budget]
             else:
                 while len(ids) + len(pair) > budget:
-                    if len(ids) >= len(pair):
+                    if len(ids) > len(pair):  # HF ties trim the pair
                         ids = ids[:-1]
                     else:
                         pair = pair[:-1]
@@ -152,19 +152,48 @@ class WordPieceTokenizer:
             out += pair + [self.sep_token_id]
         return out
 
+    def num_first_segment_tokens(self, text: str,
+                                 text_pair: str,
+                                 add_special_tokens: bool,
+                                 max_length: Optional[int]) -> int:
+        """Length of segment 0 in ``encode``'s pair output — [CLS] a
+        [SEP] get type 0, the pair + its [SEP] type 1 (HF BERT
+        convention, needed by the MIF qa-evaluator scorer).  Re-runs
+        the same longest-first budget walk encode uses, so truncation
+        keeps the boundary consistent."""
+        ids = [self.vocab.get(t, self.unk_token_id)
+               for t in self.tokenize(text)]
+        pair = [self.vocab.get(t, self.unk_token_id)
+                for t in self.tokenize(text_pair)]
+        if max_length is not None:
+            budget = (max(max_length - 3, 0) if add_special_tokens
+                      else max_length)
+            while len(ids) + len(pair) > budget:
+                if len(ids) > len(pair):  # HF ties trim the pair
+                    ids = ids[:-1]
+                else:
+                    pair = pair[:-1]
+        return len(ids) + (2 if add_special_tokens else 0)
+
     def __call__(self, texts: Sequence[str], max_length: int = 20,
                  text_pairs: Optional[Sequence[str]] = None,
                  add_special_tokens: bool = True) -> Dict[str, np.ndarray]:
         b = len(texts)
         ids = np.full((b, max_length), self.pad_token_id, dtype=np.int32)
         mask = np.zeros((b, max_length), dtype=np.int32)
+        types = np.zeros((b, max_length), dtype=np.int32)
         for i, text in enumerate(texts):
             pair = text_pairs[i] if text_pairs is not None else None
             enc = self.encode(text, pair, add_special_tokens,
                               max_length=max_length)
             ids[i, :len(enc)] = enc
             mask[i, :len(enc)] = 1
-        return {"input_ids": ids, "attention_mask": mask}
+            if pair is not None:
+                n0 = self.num_first_segment_tokens(
+                    text, pair, add_special_tokens, max_length)
+                types[i, n0:len(enc)] = 1
+        return {"input_ids": ids, "attention_mask": mask,
+                "token_type_ids": types}
 
     def decode(self, ids: Sequence[int],
                skip_special_tokens: bool = True) -> str:

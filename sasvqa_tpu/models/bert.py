@@ -45,6 +45,11 @@ class BERTForSequenceClassification(nn.Module):
                  deterministic: bool = True) -> jax.Array:
         cfg = self.config
         b, l = input_ids.shape
+        # trace-time guard (see models/clip.py): JAX clamps OOB
+        # embedding gathers under jit instead of erroring like HF
+        assert l <= cfg.max_position_embeddings, (
+            f"text length {l} exceeds max_position_embeddings "
+            f"{cfg.max_position_embeddings} — lower --score_max_length")
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
         x = (nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,

@@ -99,6 +99,11 @@ class BLIPTextEncoder(nn.Module):
                  ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
         b, l = input_ids.shape
+        # trace-time guard (see models/clip.py): JAX clamps OOB
+        # embedding gathers under jit instead of erroring like HF
+        assert l <= cfg.max_position_embeddings, (
+            f"text length {l} exceeds max_position_embeddings "
+            f"{cfg.max_position_embeddings}")
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
                        name="word_embeddings")(input_ids)
         pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,

@@ -181,8 +181,16 @@ class BertSelfAttention(nn.Module):
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    def project_kv(self, hidden: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        d = hidden.shape[-1]
+    def project_kv(self, hidden: jax.Array,
+                   features: Optional[int] = None,
+                   ) -> Tuple[jax.Array, jax.Array]:
+        """K/V projections INTO ``features`` dims (default: the source's
+        own width).  Cross-attention must pass the QUERY side's width:
+        HF BertSelfAttention projects encoder states of any width into
+        the text hidden size — using the encoder width here broke every
+        config whose vision tower is wider than the text stack
+        (blip-large 1024 vs 768; r3 review finding)."""
+        d = features or hidden.shape[-1]
         k = split_heads(nn.Dense(d, dtype=self.dtype, name="key")(hidden),
                         self.num_heads)
         v = split_heads(nn.Dense(d, dtype=self.dtype, name="value")(hidden),
@@ -199,7 +207,7 @@ class BertSelfAttention(nn.Module):
         q = split_heads(nn.Dense(d, dtype=self.dtype, name="query")(hidden),
                         self.num_heads)
         kv_src = hidden if kv_states is None else kv_states
-        k, v = self.project_kv(kv_src)
+        k, v = self.project_kv(kv_src, features=d)
         ctx = merge_heads(dot_product_attention(q, k, v, bias=bias,
                                                 use_flash=use_flash))
         out = nn.Dense(d, dtype=self.dtype, name="out_dense")(ctx)

@@ -41,7 +41,7 @@ def _clip_configs(name: str) -> Tuple[CLIPTextConfig, CLIPVisionConfig]:
     return CLIP_VIT_B32
 
 
-def _git_config(name: str, max_txt_vocab: Optional[int] = None) -> GITConfig:
+def _git_config(name: str) -> GITConfig:
     if "tiny" in name:
         return GITConfig(
             vocab_size=512, hidden_size=32, num_layers=2, num_heads=4,
@@ -65,7 +65,10 @@ def _blip_configs(name: str) -> Tuple[BLIPTextConfig, BLIPVisionConfig]:
                                  num_layers=2, num_heads=4, image_size=32,
                                  patch_size=16))
     if "large" in name:
-        return (BLIPTextConfig(),
+        # encoder_width records the VISION width the text stack
+        # cross-attends over (blip-large's towers are asymmetric:
+        # vision 1024, text 768)
+        return (BLIPTextConfig(encoder_width=1024),
                 BLIPVisionConfig(hidden_size=1024, intermediate_size=4096,
                                  num_layers=24, num_heads=16))
     return BLIPTextConfig(), BLIPVisionConfig()

@@ -65,8 +65,13 @@ def score_question_captions(score_fn: Callable[..., jax.Array],
     k = len(captions)
     enc = tokenizer([question] * k, max_length=max_length,
                     text_pairs=list(captions))
+    # token_type_ids matter: the reference feeds segment ids to the
+    # qa-evaluator (gen_sample.py:80 tokenizes with text_pair, HF
+    # returns token_type_ids=1 for the caption segment) and its logits
+    # depend on the segment embeddings (r3 review finding)
     logits = score_fn(jnp.asarray(enc["input_ids"]),
-                      jnp.asarray(enc["attention_mask"]))
+                      jnp.asarray(enc["attention_mask"]),
+                      jnp.asarray(enc["token_type_ids"]))
     return np.asarray(logits[:, 0])
 
 

@@ -24,8 +24,7 @@ import jax.numpy as jnp
 
 from sasvqa_tpu.core.logging import LOGGER
 from sasvqa_tpu.train.retrieval import (aggregate_clip_scores,
-                                        retrieval_metrics,
-                                        similarity_matrix)
+                                        retrieval_metrics)
 
 
 def build_towers(cfg, dtype=jnp.bfloat16):
@@ -53,9 +52,13 @@ def encode_corpus(txt_tower, vis_tower, txt_params, vis_params, tokenizer,
                   batch_size: int = 64) -> Dict[str, np.ndarray]:
     """captions: N strings; frames: (N, T, H, W, C), chunked encode.
 
-    Returns text (N, D) and video (N, D) embeddings in the shared CLIP
-    space; video = mean/max/lse pooled per-frame projected image embeds.
-    """
+    Returns text (N, D) and PER-FRAME video (N, T, D) embeddings in the
+    shared CLIP space.  score_agg_func pooling happens over per-clip
+    similarity SCORES in evaluate_retrieval — pooling the embeddings
+    themselves (the r3 original) computed a coordinate-wise logsumexp
+    of signed embedding components under 'lse', nothing like the
+    reference's LSE over clip scores (run_video_retrieval.py:404-418;
+    r3 review finding)."""
     enc = tokenizer(captions, max_length=cfg.get("max_txt_len", 20))
 
     # params cross the jit boundary as ARGUMENTS: closure capture bakes
@@ -67,9 +70,7 @@ def encode_corpus(txt_tower, vis_tower, txt_params, vis_params, tokenizer,
         b, t = frames.shape[:2]
         flat = frames.reshape((b * t,) + frames.shape[2:])
         _, _, image_embeds = vis_tower.apply(vp, flat)
-        vis = image_embeds.reshape(b, t, -1)
-        vid = aggregate_clip_scores(vis, cfg.get("score_agg_func", "mean"),
-                                    axis=1)
+        vid = image_embeds.reshape(b, t, -1)
         return txt, vid
 
     encode = lambda ids, mask, frames: _encode(txt_params, vis_params,
@@ -101,9 +102,16 @@ def evaluate_retrieval(txt_tower, vis_tower, txt_params, vis_params,
                        batch_size: int = 64) -> Dict[str, float]:
     embeds = encode_corpus(txt_tower, vis_tower, txt_params, vis_params,
                            tokenizer, captions, frames, cfg, batch_size)
-    sim = np.asarray(similarity_matrix(
-        jnp.asarray(embeds["text"], jnp.float32),
-        jnp.asarray(embeds["video"], jnp.float32)))
+    # per-frame cosine similarities (Nt, Nv, T), then score_agg_func
+    # pools the SCORES over clips — reference semantics
+    # (run_video_retrieval.py:404-418)
+    txt = jnp.asarray(embeds["text"], jnp.float32)
+    vid = jnp.asarray(embeds["video"], jnp.float32)
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    vid = vid / jnp.linalg.norm(vid, axis=-1, keepdims=True)
+    sim_frames = jnp.einsum("td,vfd->tvf", txt, vid)
+    sim = np.asarray(aggregate_clip_scores(
+        sim_frames, cfg.get("score_agg_func", "lse"), axis=-1))
     metrics = retrieval_metrics(sim)
     LOGGER.info(f"retrieval: {metrics}")
     return metrics

@@ -169,8 +169,9 @@ def run_gen_inds(args) -> None:
     # would bake the ~110M-param BERT tree into the HLO as constants and
     # blow the remote-compile request limit on tunneled runtimes (same
     # hazard documented at extract_frames.MDFEncoder)
-    _scorer = jax.jit(lambda p, ids, mask: model.apply(p, ids, mask))
-    score = lambda ids, mask: _scorer(params, ids, mask)
+    _scorer = jax.jit(lambda p, ids, mask, types:
+                      model.apply(p, ids, mask, types))
+    score = lambda ids, mask, types: _scorer(params, ids, mask, types)
     for split in ("train", "val", "test"):
         read_file = os.path.join(args.anno_dir, f"qa_{split}.json")
         if not os.path.exists(read_file):

@@ -325,6 +325,55 @@ def test_blip_parity(text_batch, pixels):
                                atol=5e-5, rtol=5e-4)
 
 
+def test_blip_cross_attention_asymmetric_widths(text_batch):
+    """BLIP text cross-attention over a WIDER vision stream (blip-large:
+    vision 1024 vs text 768) must project K/V into the TEXT hidden size
+    like HF — the old project_kv used the encoder width, which broke
+    at init for any asymmetric config (r3 review finding).  Parity vs
+    HF BlipTextModel with encoder_hidden_size = 2*hidden."""
+    from transformers import BlipTextConfig
+    from transformers.models.blip.modeling_blip_text import BlipTextModel
+    from sasvqa_tpu.models.blip import (BLIPTextConfig as FxT,
+                                        BLIPTextEncoder)
+    from sasvqa_tpu.models.convert import convert_blip_text
+
+    enc_w = 2 * H                      # asymmetric: vision wider
+    # is_decoder=True only GATES the crossattention modules' existence
+    # in HF BlipTextLayer; causality is the forward()'s own is_decoder
+    # flag, which the reference never passes (modeling.py:307-315) — so
+    # the run below is bidirectional + cross-attention, like ours
+    tcfg = BlipTextConfig(vocab_size=VOCAB, hidden_size=H,
+                          intermediate_size=FF, num_hidden_layers=LAYERS,
+                          num_attention_heads=HEADS,
+                          max_position_embeddings=32,
+                          encoder_hidden_size=enc_w, is_decoder=True)
+    hf = BlipTextModel(tcfg, add_pooling_layer=True).eval()
+    ids, mask = text_batch
+    rng = np.random.default_rng(5)
+    enc_states = rng.normal(size=(ids.shape[0], 7, enc_w)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids, dtype=torch.long),
+                 attention_mask=torch.tensor(mask, dtype=torch.long),
+                 encoder_hidden_states=torch.tensor(enc_states))
+
+    fx = BLIPTextEncoder(FxT(vocab_size=VOCAB, hidden_size=H,
+                             intermediate_size=FF, num_layers=LAYERS,
+                             num_heads=HEADS, max_position_embeddings=32,
+                             encoder_width=enc_w))
+    pt = {"params": convert_blip_text(hf.state_dict(), LAYERS, prefix="",
+                                      cross_attention=True)}
+    last, pooled = jax.jit(
+        lambda p, i, m, e: fx.apply(p, i, m, encoder_hidden=e))(
+        pt, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(enc_states))
+    np.testing.assert_allclose(np.asarray(last),
+                               ref.last_hidden_state.numpy(),
+                               atol=5e-5, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(pooled),
+                               ref.pooler_output.numpy(),
+                               atol=5e-5, rtol=5e-4)
+
+
 def test_clip_text_projection_parity(text_batch):
     """with_projection text tower == HF CLIPTextModelWithProjection."""
     from transformers import CLIPTextModelWithProjection

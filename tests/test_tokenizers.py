@@ -146,3 +146,23 @@ def test_clip_bpe_pretokenizer_number_categories():
     pytest.importorskip("regex")
     got = CLIPBPETokenizer._PAT.findall("½cup of tea xii")
     assert got[:2] == ["½", "cup"], got
+
+
+def test_wordpiece_pair_token_type_ids_match_hf(wp_vocab_file):
+    """Pair encodings carry HF's segment ids ([CLS] q [SEP] -> 0,
+    caption [SEP] -> 1) — the MIF qa-evaluator's logits depend on the
+    segment embeddings (r3 review finding)."""
+    from transformers import BertTokenizer
+    hf = BertTokenizer(wp_vocab_file, do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(wp_vocab_file)
+    for q, c in [(SENTENCES[0], SENTENCES[2]),
+                 ("who is playing", "a dog runs and jumps and plays")]:
+        for ml in (32, 12, 8):   # incl. truncating budgets
+            ref = hf(q, c, max_length=ml, truncation="longest_first")
+            got = ours([q], max_length=ml, text_pairs=[c])
+            n = len(ref["input_ids"])
+            assert got["input_ids"][0, :n].tolist() == ref["input_ids"]
+            assert (got["token_type_ids"][0, :n].tolist()
+                    == ref["token_type_ids"]), (q, c, ml)
+            # padding stays segment 0 (HF pad_token_type_id)
+            assert got["token_type_ids"][0, n:].sum() == 0
