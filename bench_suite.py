@@ -233,6 +233,38 @@ def _measure_accum(name="git6_accum8", batch=6, frames=6, txt_len=32,
     }), flush=True)
 
 
+def _measure_scorer(name="mif_score_stageB", k=32, max_length=64,
+                    steps=20):
+    """Offline stage-B part 2 (gen_inds): BERT-base scorer over one
+    question's K (question, caption) pairs per call — questions/sec/chip
+    (reference scores pair-by-...-batch via HF on GPU,
+    gen_sample.py:80-89)."""
+    import jax
+    from sasvqa_tpu.models.bert import (BERTConfig,
+                                        BERTForSequenceClassification)
+    model = BERTForSequenceClassification(BERTConfig(vocab_size=30522))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 30000, size=(k, max_length)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+    types = jnp.asarray(
+        (np.arange(max_length)[None, :] >= 10).astype(np.int32)
+        * np.ones((k, 1), np.int32))
+    params = jax.jit(model.init)(jax.random.key(0), ids, mask, types)
+    fn = jax.jit(lambda p, i, m, t: model.apply(p, i, m, t))
+    np.asarray(fn(params, ids, mask, types))  # compile
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(params, ids, mask, types)
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / steps
+    print(json.dumps({
+        "config": name, "pairs_per_question": k, "max_length": max_length,
+        "ms_per_question": round(dt * 1000, 2),
+        "questions_per_sec_per_chip": round(1 / dt, 1),
+    }), flush=True)
+
+
 def _measure_mdf(name="mdf_stageA", n_frames=256, k=16, w=8, steps=6):
     """Offline stage-A device throughput: frozen ViT encode of every
     decoded frame + on-device banded MDF selection (frames/sec/chip).
@@ -278,6 +310,7 @@ ROWS = {
     "accum": _measure_accum,
     "eval": _measure_eval,
     "mdf": _measure_mdf,
+    "score": _measure_scorer,
     # MIF stage B part 1 (gen_sample gen_cap): [CLS]-prompted 30-token
     # frame captions, batched over frames (reference generate
     # max_length=30, preprocessing/gen_sample.py:20-25)
