@@ -67,19 +67,32 @@ _BLOCK_CANDIDATES = ((512, 1024), (896, 896), (768, 768), (640, 640),
 # and can never be chosen — keep the list to selectable entries only.
 
 
-def _choose_blocks(s: int) -> Tuple[int, int]:
-    """Pick (bq, bk) minimising padded work s_pad^2 for sequence s.
+# Measured fused-vs-split cost ratio for the backward-inclusive step:
+# at the vitl16 shape, fused 512x512 (s_pad 4608) 33.6 ms beats split
+# 896x896 (s_pad 4480) 35.0 despite 6% more padded work -> the split
+# formulation costs ~1.10x per padded element (it re-runs QK^T and
+# dO V^T in a second pass; 7 S^2-matmuls vs fused's 5).
+_SPLIT_BWD_PENALTY = 1.10
 
-    Padding to a multiple of max-block costs quadratically: at S=1608
-    the default (512,1024) pads to 2048 = 1.62x the real S^2 work,
-    while (896,896) pads to 1792 (1.24x) and measures ~15% faster
-    end-to-end on the flagship step.  Ties prefer bigger tiles (MXU
-    amortisation)."""
+
+def _choose_blocks(s: int) -> Tuple[int, int]:
+    """Pick (bq, bk) minimising estimated fwd+bwd cost for sequence s.
+
+    Cost = padded work s_pad^2, scaled by _SPLIT_BWD_PENALTY when the
+    pair's scoped-VMEM frontier forces the split backward — a smaller
+    tile that keeps the FUSED backward can beat the padding-optimal
+    tile that cannot (measured at the vitl16 shape: fused 512^2 > split
+    896^2).  Padding itself costs quadratically: at S=1608 the default
+    (512,1024) pads to 2048 = 1.62x the real S^2 work, while (896,896)
+    pads to 1792 (1.24x) and measures ~15% faster end-to-end on the
+    flagship step.  Ties prefer bigger tiles (MXU amortisation)."""
     best, best_cost = None, None
     for bq, bk in _BLOCK_CANDIDATES:
         l = math.lcm(bq, bk)
         s_pad = -(-s // l) * l
-        cost = (s_pad * s_pad, -(bq * bk))
+        penalty = 1.0 if _fused_eligible(s_pad, 64, bq, bk) \
+            else _SPLIT_BWD_PENALTY
+        cost = (s_pad * s_pad * penalty, -(bq * bk))
         if best_cost is None or cost < best_cost:
             best, best_cost = (bq, bk), cost
     return best
@@ -454,26 +467,38 @@ _FUSED_VMEM_BUDGET = int(13.8 * 2 ** 20)
 # small-block/large-row shapes — 640x640 at s_pad=4480 estimates
 # 10.3 MiB yet Mosaic's actual scoped allocation is 16.17 MiB (compile
 # OOM, measured r3; the row-proportional footprint is super-linear in a
-# way no single-coefficient model fits all calibration points).  The
-# measured compile frontier (r3, realistic b*h grids): PASSES at s_pad
-# 1792/2688 (896x896), 3072 (512x1024, 16.3 ms fwd+bwd vs split's ~19)
-# and 3200 (640x640, 17.7 vs split 20.4 = 1.15x); FAILS at 3584
-# (896x896, scoped 17.48 MiB) and 4480 (any block).  No reachable
-# s_pad (a multiple of some candidate lcm) exists strictly between
-# 3200 and 3584, so the cap sits exactly at the measured-good edge.
-_FUSED_MAX_SPAD = 3200
+# way no single-coefficient model fits all calibration points), so the
+# row cap is a PER-BLOCK-PAIR table of measured compile-probe results
+# (r3, realistic b*h grids).  Each cap is the largest PROBED-good
+# reachable s_pad (a multiple of the pair's lcm); the next reachable
+# multiple either failed or is unprobed:
+#   (512,1024): pass 3072 (16.3 ms vs split ~19), FAIL 4096  -> 3072
+#   (896, 896): pass 1792/2688, FAIL 3584 -> 3200 (no reachable s_pad
+#               lies between 2688 and 3584)
+#   (768, 768): pass 3072, 3840 unprobed                     -> 3072
+#   (640, 640): pass 3200 (17.7 vs split 20.4), FAIL 4480    -> 3200
+#   (512, 512): pass 4608 (33.6 ms at the vitl16 shape vs the 896-split
+#               formulation's 35.0), 5120 unprobed           -> 4608
+# Unknown (user-supplied) pairs fall back to the conservative 2944.
+_FUSED_MAX_SPAD = {(512, 1024): 3072, (896, 896): 3200,
+                   (768, 768): 3072, (640, 640): 3200, (512, 512): 4608}
+_FUSED_MAX_SPAD_DEFAULT = 2944
 
 
 def _fused_vmem_estimate(s_pad, dh, bq, bk):
     return bq * bk * 14 + s_pad * dh * 16
 
 
+def _fused_eligible(s_pad: int, dh: int, bq: int, bk: int) -> bool:
+    cap = _FUSED_MAX_SPAD.get((bq, bk), _FUSED_MAX_SPAD_DEFAULT)
+    return (FUSED_BWD and s_pad <= cap and
+            _fused_vmem_estimate(s_pad, dh, bq, bk) <= _FUSED_VMEM_BUDGET)
+
+
 def _backward(res, g, num_img, bq, bk, b, h, s, dh):
     s_pad = res[-1]
-    use_fused = (FUSED_BWD and s_pad <= _FUSED_MAX_SPAD and
-                 _fused_vmem_estimate(s_pad, dh, bq, bk)
-                 <= _FUSED_VMEM_BUDGET)
-    fn = _backward_fused if use_fused else _backward_split
+    fn = (_backward_fused if _fused_eligible(s_pad, dh, bq, bk)
+          else _backward_split)
     return fn(res, g, num_img, bq, bk, b, h, s, dh)
 
 

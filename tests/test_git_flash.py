@@ -102,23 +102,36 @@ def test_non_dividing_block_pair_covers_all_rows():
                                atol=3e-5, rtol=1e-4)
 
 
-def test_choose_blocks_minimises_padding():
-    """Shape-aware block chooser: minimise padded S^2 work, prefer big
-    tiles on ties.  S=1608 (8-frame GIT-base) must pick 896x896 (pad
-    1792, vs 2048 for the 512x1024 default); S=4144 (16-frame ViT-L)
-    picks 896x896 (pad 4480, vs 5120 for 512x1024)."""
+def test_choose_blocks_minimises_weighted_cost():
+    """Shape-aware block chooser: minimise padded S^2 work weighted by
+    the split-backward penalty where the fused kernel cannot compile,
+    prefer big tiles on ties.  S=1608 (8-frame GIT-base) must pick
+    896x896 (pad 1792, vs 2048 for the 512x1024 default); S=4096 fits
+    512x1024 exactly (split, but 27% less padding than any fused
+    option); S=4144 (16-frame ViT-L) picks 512x512 — the only
+    fused-eligible tile at that length, measured faster than the
+    padding-optimal split 896^2 (33.6 vs 35.0 ms)."""
     import math
     assert gf._choose_blocks(1608) == (896, 896)   # pad 1792 (not 2048)
-    assert gf._choose_blocks(4096) == (512, 1024)  # exact fit, big tiles
-    assert gf._choose_blocks(4144) == (896, 896)   # pad 4480 (not 5120;
-    # sub-512 tiles pad less but measure slower — see _BLOCK_CANDIDATES)
-    # chosen pad is optimal over the candidate set for any S
+    # 4096 fits BOTH 512x1024 and 512x512 exactly; only 512x512 keeps
+    # the fused backward (the 512x1024 row cap is 3072) -> fused wins
+    assert gf._choose_blocks(4096) == (512, 512)
+    assert gf._choose_blocks(2048) == (512, 1024)  # exact fit AND fused
+    assert gf._choose_blocks(4144) == (512, 512)   # fused beats padding
+    # chosen cost is optimal over the candidate set for any S
     for s in (197, 1608, 2000, 4144, 8192):
         bq, bk = gf._choose_blocks(s)
-        pad = -(-s // math.lcm(bq, bk)) * math.lcm(bq, bk)
+        l = math.lcm(bq, bk)
+        pad = -(-s // l) * l
+        cost = pad * pad * (1.0 if gf._fused_eligible(pad, 64, bq, bk)
+                            else gf._SPLIT_BWD_PENALTY)
         for cq, ck in gf._BLOCK_CANDIDATES:
             cl = math.lcm(cq, ck)
-            assert pad <= -(-s // cl) * cl
+            cpad = -(-s // cl) * cl
+            ccost = cpad * cpad * (
+                1.0 if gf._fused_eligible(cpad, 64, cq, ck)
+                else gf._SPLIT_BWD_PENALTY)
+            assert cost <= ccost
 
 
 def test_fused_bwd_vmem_guard_routing():
@@ -136,13 +149,30 @@ def test_fused_bwd_vmem_guard_routing():
     # smaller tiles shrink the dominant temporaries term
     assert est(3200, 64, 640, 640) <= budget      # measured pass (S=3000)
     assert est(3072, 64, 512, 1024) <= budget     # measured pass, 16.3 ms
-    # the row-length cap catches the estimate's small-block/large-row
-    # underprediction (640x640 @ 4480 estimates 10.3 MiB, actual 16.17):
-    # passes measured up to s_pad 3200, fails from 3584 — and no
-    # reachable s_pad (multiple of a candidate lcm) lies between
-    assert gf._FUSED_MAX_SPAD == 3200
-    assert est(4480, 64, 640, 640) <= budget      # estimate says fits...
-    # ...the cap must still route it split (actual scoped alloc OOMs)
+    # the per-block-pair row caps catch the estimate's small-block/
+    # large-row underprediction (640x640 @ 4480 estimates 10.3 MiB,
+    # actual scoped alloc 16.17 — OOM); each cap is the largest
+    # measured-good reachable s_pad for that pair
+    elig = gf._fused_eligible
+    assert elig(1792, 64, 896, 896)               # flagship: fused
+    assert elig(3200, 64, 640, 640)               # measured pass
+    assert elig(4608, 64, 512, 512)               # vitl16-class: fused!
+    assert not elig(3584, 64, 896, 896)           # measured OOM
+    assert not elig(4480, 64, 640, 640)           # est fits, actual OOMs
+    assert not elig(4096, 64, 512, 1024)          # measured OOM
+    # unknown user pair falls back to the conservative default cap
+    assert not elig(3000, 64, 2048, 128)
+
+
+def test_block_chooser_prefers_fused_eligible_tiles():
+    """At vitl16-class lengths the padding-optimal 896^2 tile forces the
+    split backward; the chooser must pick 512^2 instead — fused there
+    measured 33.6 ms vs split-896's 35.0 despite 6% more padding."""
+    assert gf._choose_blocks(1608) == (896, 896)   # flagship unchanged
+    assert gf._choose_blocks(4144) == (512, 512)   # vitl16: fused wins
+    # deep into split-only territory both options pay the penalty and
+    # padding dominates again
+    assert gf._choose_blocks(6000)[0] >= 512
 
 
 def test_bf16_matches_f32_dense():
