@@ -16,8 +16,16 @@ from typing import Dict, Optional
 
 _LOG_FMT = "%(asctime)s - %(levelname)s - %(name)s -   %(message)s"
 _DATE_FMT = "%m/%d/%Y %H:%M:%S"
-logging.basicConfig(format=_LOG_FMT, datefmt=_DATE_FMT, level=logging.INFO)
+# configure the PACKAGE logger, not the root: logging.basicConfig at
+# import time would hijack the root-logger policy of any embedding
+# application (r3 review finding)
 LOGGER = logging.getLogger("sasvqa")
+if not LOGGER.handlers:
+    _h = logging.StreamHandler()
+    _h.setFormatter(logging.Formatter(_LOG_FMT, datefmt=_DATE_FMT))
+    LOGGER.addHandler(_h)
+    LOGGER.setLevel(logging.INFO)
+    LOGGER.propagate = False
 
 
 def add_log_to_file(log_path: str) -> None:
@@ -45,6 +53,7 @@ class ScalarLogger:
         self.global_step = 0
 
     def create(self, path: str) -> None:
+        self.close()   # re-create in one process must not leak handles
         os.makedirs(path, exist_ok=True)
         self._file = open(os.path.join(path, "scalars.jsonl"), "a")
         try:  # optional tensorboard mirror

@@ -22,8 +22,14 @@ def set_random_seed(seed: int) -> Tuple[jax.Array, np.random.Generator]:
     return jax.random.key(seed), np.random.default_rng(seed)
 
 
-def host_fold(rng: np.random.Generator, *data: int) -> np.random.Generator:
-    """Derive an independent host Generator from integers (e.g. epoch, step)."""
-    seed_seq = np.random.SeedSequence(
-        entropy=int(rng.integers(0, 2**63 - 1)), spawn_key=tuple(data))
+def host_fold(seed: int, *data: int) -> np.random.Generator:
+    """Derive an independent host Generator PURELY from (seed, *data).
+
+    A pure fold: the same (seed, epoch/step/...) always yields the same
+    stream, independent of call order or count — drawing entropy from a
+    parent Generator (the r3 original) made the derived stream depend
+    on how many times the parent had been consumed, silently breaking
+    resume/rng alignment (r3 review finding)."""
+    seed_seq = np.random.SeedSequence(entropy=int(seed),
+                                      spawn_key=tuple(data))
     return np.random.default_rng(seed_seq)

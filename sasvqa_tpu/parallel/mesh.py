@@ -34,6 +34,10 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     axes = tuple(axes) if axes else (DATA_AXIS,)
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axes) - 1)
+    assert len(shape) == len(axes), (
+        f"mesh shape {tuple(shape)} has {len(shape)} dims but axes "
+        f"{axes} name {len(axes)} — pass matching --mesh_shape/"
+        f"--mesh_axes")
     n = int(np.prod(shape))
     arr = np.array(devices[:n]).reshape(tuple(shape))
     return Mesh(arr, axes)
@@ -84,6 +88,22 @@ def shard_batch(batch: Any, mesh: Mesh, micro_axis: bool = False) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def fsdp_leaf_sharding(leaf, mesh: Mesh, axis_name: str, n_shard: int,
+                       min_size: int) -> NamedSharding:
+    """The ONE per-leaf ZeRO rule: shard a large >=2D param on its
+    largest axis over ``axis_name`` when divisible, else replicate.
+    Shared by fsdp_param_sharding and tp.tp_param_sharding's fallback
+    so the policy cannot drift between '--mesh_axes data fsdp' and
+    'data fsdp model' (r3 review finding)."""
+    if getattr(leaf, "ndim", 0) >= 2 and leaf.size >= min_size:
+        axis = int(np.argmax(leaf.shape))
+        if leaf.shape[axis] % n_shard == 0:
+            spec = [None] * leaf.ndim
+            spec[axis] = axis_name
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
 def fsdp_param_sharding(params: Any, mesh: Mesh,
                         min_size: int = 2 ** 16) -> Any:
     """Per-leaf NamedSharding tree: shard each large >=2D param on its
@@ -92,17 +112,9 @@ def fsdp_param_sharding(params: Any, mesh: Mesh,
     scatters — ZeRO-3-style FSDP without manual collectives."""
     assert FSDP_AXIS in mesh.axis_names, mesh.axis_names
     n_shard = mesh.shape[FSDP_AXIS]
-
-    def shard_of(leaf):
-        if getattr(leaf, "ndim", 0) >= 2 and leaf.size >= min_size:
-            axis = int(np.argmax(leaf.shape))
-            if leaf.shape[axis] % n_shard == 0:
-                spec = [None] * leaf.ndim
-                spec[axis] = FSDP_AXIS
-                return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map(shard_of, params)
+    return jax.tree_util.tree_map(
+        lambda leaf: fsdp_leaf_sharding(leaf, mesh, FSDP_AXIS, n_shard,
+                                        min_size), params)
 
 
 def param_sharding_for_mesh(params: Any, mesh: Optional[Mesh],
@@ -195,7 +207,7 @@ def pad_batch_to_multiple(batch: Any, multiple: int) -> Any:
     for k, v in batch.items():
         if k == "labels" and v is not None:
             out[k] = pad(v, -100)
-        elif isinstance(v, np.ndarray):
+        elif hasattr(v, "shape"):  # any array-like (np/jnp), like pad()
             out[k] = pad(v)
         else:
             out[k] = v

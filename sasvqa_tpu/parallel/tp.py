@@ -82,13 +82,12 @@ def tp_param_sharding(params: Any, mesh: Mesh,
     n_fsdp = mesh.shape[fsdp_axis] if fsdp_axis else 1
 
     def fsdp_fallback(leaf):
-        if (fsdp_axis and getattr(leaf, "ndim", 0) >= 2
-                and leaf.size >= min_size):
-            axis = int(np.argmax(leaf.shape))
-            if leaf.shape[axis] % n_fsdp == 0:
-                spec = [None] * leaf.ndim
-                spec[axis] = fsdp_axis
-                return NamedSharding(mesh, P(*spec))
+        # the shared ZeRO per-leaf rule (parallel/mesh.py) — one policy
+        # for both the pure-FSDP and TP+FSDP compositions
+        if fsdp_axis:
+            from sasvqa_tpu.parallel.mesh import fsdp_leaf_sharding
+            return fsdp_leaf_sharding(leaf, mesh, fsdp_axis, n_fsdp,
+                                      min_size)
         return NamedSharding(mesh, P())
 
     def shard_of(path, leaf):
