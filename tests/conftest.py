@@ -32,3 +32,10 @@ def rng_key():
 @pytest.fixture(scope="session")
 def cpu_devices():
     return jax.devices("cpu")
+
+
+# The package logger runs with propagate=False in production (it must
+# not leak through an embedding app's root-logger policy); pytest's
+# caplog captures via root propagation, so re-enable it for tests.
+from sasvqa_tpu.core.logging import LOGGER as _SASVQA_LOGGER  # noqa: E402
+_SASVQA_LOGGER.propagate = True
