@@ -475,13 +475,13 @@ _FUSED_VMEM_BUDGET = int(13.8 * 2 ** 20)
 #   (512,1024): pass 3072 (16.3 ms vs split ~19), FAIL 4096  -> 3072
 #   (896, 896): pass 1792/2688, FAIL 3584 -> 3200 (no reachable s_pad
 #               lies between 2688 and 3584)
-#   (768, 768): pass 3072, 3840 unprobed                     -> 3072
+#   (768, 768): pass 3072 and 3840, 4608 unprobed            -> 3840
 #   (640, 640): pass 3200 (17.7 vs split 20.4), FAIL 4480    -> 3200
 #   (512, 512): pass 4608 (33.6 ms at the vitl16 shape vs the 896-split
-#               formulation's 35.0), 5120 unprobed           -> 4608
+#               formulation's 35.0), FAIL 5120     -> 4608 (exact edge)
 # Unknown (user-supplied) pairs fall back to the conservative 2944.
 _FUSED_MAX_SPAD = {(512, 1024): 3072, (896, 896): 3200,
-                   (768, 768): 3072, (640, 640): 3200, (512, 512): 4608}
+                   (768, 768): 3840, (640, 640): 3200, (512, 512): 4608}
 _FUSED_MAX_SPAD_DEFAULT = 2944
 
 

@@ -156,10 +156,12 @@ def test_fused_bwd_vmem_guard_routing():
     elig = gf._fused_eligible
     assert elig(1792, 64, 896, 896)               # flagship: fused
     assert elig(3200, 64, 640, 640)               # measured pass
+    assert elig(3840, 64, 768, 768)               # measured pass
     assert elig(4608, 64, 512, 512)               # vitl16-class: fused!
     assert not elig(3584, 64, 896, 896)           # measured OOM
     assert not elig(4480, 64, 640, 640)           # est fits, actual OOMs
     assert not elig(4096, 64, 512, 1024)          # measured OOM
+    assert not elig(5120, 64, 512, 512)           # measured OOM (edge)
     # unknown user pair falls back to the conservative default cap
     assert not elig(3000, 64, 2048, 128)
 
