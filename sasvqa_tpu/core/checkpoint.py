@@ -75,7 +75,10 @@ class TrainingRestorer:
         latest = self._mgr.latest_step()
         return int(latest) if latest is not None else 0
 
-    def force_save(self, step: int, state: Any) -> None:
+    def force_save(self, step: int, state: Any) -> bool:
+        """Returns True if a checkpoint was written, False if skipped —
+        callers needing a checkpoint on disk before the first optimizer
+        step can distinguish 'saved' from 'skipped' (r3 advisor)."""
         if int(step) < 1:
             # a step-0 forced save would have to be relabeled (Orbax's
             # latest_step=None/0 ambiguity reserves 0 for "no
@@ -83,10 +86,11 @@ class TrainingRestorer:
             # fresh state needs no checkpoint — resuming from nothing
             # is identical (r3 review finding)
             LOGGER.info("force_save skipped at step 0 (fresh state)")
-            return
+            return False
         self._mgr.save(int(step), args=ocp.args.StandardSave(
             {"params": state.params, "opt_state": state.opt_state,
              "step": state.step}), force=True)
+        return True
 
     def maybe_save(self, step: int, state: Any) -> None:
         if step > 0 and step % self.save_steps == 0:

@@ -15,6 +15,8 @@ from typing import Any, Callable, Dict, Iterator, List, Optional
 
 import numpy as np
 
+from sasvqa_tpu.core.logging import LOGGER
+
 # NOTE: sasvqa_tpu.parallel.mesh (-> jax) is imported lazily inside
 # DevicePrefetcher._stage so spawn-started pool workers, which re-import
 # this module to find _pool_collate, never pay the jax import.
@@ -397,6 +399,18 @@ class DevicePrefetcher:
         completes and the drain then observes the final queue state."""
         self._stop.set()
         self._thread.join(timeout=5)
+        if self._thread.is_alive():
+            # a producer wedged in _stage (e.g. blocking device_put)
+            # makes the drain-then-reinsert race reachable again — make
+            # the leak visible and re-drain after a second join
+            LOGGER.warning("DevicePrefetcher producer thread did not "
+                           "exit within 5s; staged batches may stay "
+                           "pinned in device memory")
+            self._drain()
+            self._thread.join(timeout=5)
+        self._drain()
+
+    def _drain(self):
         while True:
             try:
                 self._q.get_nowait()

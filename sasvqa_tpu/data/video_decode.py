@@ -112,7 +112,10 @@ class VideoDecoder:
         _, _, _, nb = self.info()
         if nb <= 0:
             return max_frames
-        return max(1, min(max_frames, -(-nb // interval) + 8))
+        # slack scales with the frame count: muxers can undercount
+        # nb_frames by more than a fixed 8*interval frames (r3 advisor
+        # finding) — nb//16 tolerates ~6% metadata undercount
+        return max(1, min(max_frames, -(-nb // interval) + max(8, nb // 16)))
 
     def read_window(self, start_sec: float, end_sec: float,
                     interval: int = 1, max_frames: int = 4096,

@@ -100,8 +100,12 @@ class GitAttention(nn.Module):
         if git_mask is not None:
             from sasvqa_tpu.ops.git_flash import git_flash_attention
             num_img, attention_mask = git_mask
+            # deterministic == eval/inference: hint the block chooser
+            # that no backward is coming (perf-only; grads through a
+            # deterministic forward still work — r3 advisor finding)
             ctx = merge_heads(git_flash_attention(
-                q, k, v, attention_mask, num_img))
+                q, k, v, attention_mask, num_img,
+                fwd_only=deterministic))
         else:
             ctx = merge_heads(dot_product_attention(q, k, v, bias=bias,
                                                     use_flash=use_flash))

@@ -75,22 +75,25 @@ _BLOCK_CANDIDATES = ((512, 1024), (896, 896), (768, 768), (640, 640),
 _SPLIT_BWD_PENALTY = 1.10
 
 
-def _choose_blocks(s: int) -> Tuple[int, int]:
+def _choose_blocks(s: int, dh: int = 64,
+                   fwd_only: bool = False) -> Tuple[int, int]:
     """Pick (bq, bk) minimising estimated fwd+bwd cost for sequence s.
 
     Cost = padded work s_pad^2, scaled by _SPLIT_BWD_PENALTY when the
     pair's scoped-VMEM frontier forces the split backward — a smaller
     tile that keeps the FUSED backward can beat the padding-optimal
     tile that cannot (measured at the vitl16 shape: fused 512^2 > split
-    896^2).  Padding itself costs quadratically: at S=1608 the default
-    (512,1024) pads to 2048 = 1.62x the real S^2 work, while (896,896)
-    pads to 1792 (1.24x) and measures ~15% faster end-to-end on the
-    flagship step.  Ties prefer bigger tiles (MXU amortisation)."""
+    896^2).  ``fwd_only`` (inference/eval) drops that weighting — with
+    no backward, padding is the only cost.  Padding itself costs
+    quadratically: at S=1608 the default (512,1024) pads to 2048 =
+    1.62x the real S^2 work, while (896,896) pads to 1792 (1.24x) and
+    measures ~15% faster end-to-end on the flagship step.  Ties prefer
+    bigger tiles (MXU amortisation)."""
     best, best_cost = None, None
     for bq, bk in _BLOCK_CANDIDATES:
         l = math.lcm(bq, bk)
         s_pad = -(-s // l) * l
-        penalty = 1.0 if _fused_eligible(s_pad, 64, bq, bk) \
+        penalty = 1.0 if fwd_only or _fused_eligible(s_pad, dh, bq, bk) \
             else _SPLIT_BWD_PENALTY
         cost = (s_pad * s_pad * penalty, -(bq * bk))
         if best_cost is None or cost < best_cost:
@@ -607,7 +610,8 @@ def _backward_split(res, g, num_img, bq, bk, b, h, s, dh):
 
 def git_flash_attention(q, k, v, attention_mask, num_img: int,
                         block_q: Optional[int] = None,
-                        block_k: Optional[int] = None):
+                        block_k: Optional[int] = None,
+                        fwd_only: bool = False):
     """(B, H, S, Dh) self-attention under the GIT combined mask.
 
     attention_mask: (B, L) text padding mask with S = num_img + L.
@@ -615,10 +619,13 @@ def git_flash_attention(q, k, v, attention_mask, num_img: int,
     when BOTH are unset; setting only one makes the other match it
     (square blocks) — mixing a user block with a shape-chosen one would
     inflate the lcm padding.  Resolution happens *here*, outside the
-    custom_vjp, so forward and backward agree.
+    custom_vjp, so forward and backward agree.  ``fwd_only`` is a
+    perf-only hint (eval/inference: no split-backward penalty in the
+    block choice); gradients through a fwd_only call remain correct.
     """
     if block_q is None and block_k is None:
-        block_q, block_k = _choose_blocks(q.shape[-2])
+        block_q, block_k = _choose_blocks(q.shape[-2], q.shape[-1],
+                                          fwd_only=fwd_only)
     else:
         block_q = block_q or block_k
         block_k = block_k or block_q

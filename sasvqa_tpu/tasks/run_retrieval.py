@@ -110,8 +110,10 @@ def evaluate_retrieval(txt_tower, vis_tower, txt_params, vis_params,
     txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
     vid = vid / jnp.linalg.norm(vid, axis=-1, keepdims=True)
     sim_frames = jnp.einsum("td,vfd->tvf", txt, vid)
+    # default 'mean' matches the shared parser and the reference default
+    # (reference config.py:99); shipped configs set 'lse' explicitly
     sim = np.asarray(aggregate_clip_scores(
-        sim_frames, cfg.get("score_agg_func", "lse"), axis=-1))
+        sim_frames, cfg.get("score_agg_func", "mean"), axis=-1))
     metrics = retrieval_metrics(sim)
     LOGGER.info(f"retrieval: {metrics}")
     return metrics
