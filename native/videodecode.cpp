@@ -31,6 +31,11 @@ struct Decoder {
   SwsContext* sws = nullptr;
   int stream_index = -1;
   int sws_w = 0, sws_h = 0;
+  // sequential-read state (vd_read_frames_seq): decoded-frame counter for
+  // the keep-every-interval-th rule, and whether the EOF flush packet has
+  // been sent (sending it twice is an error on some codecs)
+  int64_t seen = 0;
+  bool sent_eof = false;
 };
 
 int open_stream(Decoder* d, const char* path) {
@@ -102,16 +107,67 @@ int vd_info(void* handle, int* width, int* height, double* fps,
   return 0;
 }
 
+namespace {
+
+// Pull-model decode: receive-first loop that returns the moment the
+// output buffer fills WITHOUT dropping frames — any frames the codec
+// has already decoded but not yet surrendered stay buffered inside the
+// codec until the next call, which makes back-to-back calls a lossless
+// chunked stream (vd_read_frames_seq).  The old feed-first loop drained
+// whole packets into a full buffer and lost the surplus.
+int read_some(Decoder* d, int interval, int max_frames, int out_w,
+              int out_h, uint8_t* out) {
+  if (!ensure_sws(d, out_w, out_h)) return -2;
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int written = 0;
+  const int frame_bytes = out_w * out_h * 3;
+  uint8_t* planes[1];
+  int strides[1] = {out_w * 3};
+
+  while (written < max_frames) {
+    int ret = avcodec_receive_frame(d->codec, frame);
+    if (ret == 0) {
+      if (d->seen % interval == 0) {
+        planes[0] = out + static_cast<int64_t>(written) * frame_bytes;
+        sws_scale(d->sws, frame->data, frame->linesize, 0,
+                  d->codec->height, planes, strides);
+        ++written;
+      }
+      ++d->seen;
+      continue;
+    }
+    if (ret == AVERROR_EOF) break;
+    if (ret != AVERROR(EAGAIN)) break;  // decode error: return what we have
+    // codec wants input
+    if (d->sent_eof) break;
+    if (av_read_frame(d->fmt, pkt) < 0) {
+      avcodec_send_packet(d->codec, nullptr);  // start the EOF flush
+      d->sent_eof = true;
+      continue;
+    }
+    if (pkt->stream_index == d->stream_index)
+      avcodec_send_packet(d->codec, pkt);
+    av_packet_unref(pkt);
+  }
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return written;
+}
+
+}  // namespace
+
 // Sequentially decode, keep every `interval`-th frame, scale to
 // (out_w, out_h) RGB24 into `out` (capacity max_frames*out_h*out_w*3).
 // Returns the number of frames written, or <0 on error.
 // Mirrors the keep-every-intv-th loop of the reference InputGen
-// (prefetch_loader.py:57-67).
+// (prefetch_loader.py:57-67).  Always restarts from the first frame;
+// use vd_read_frames_seq for lossless chunked continuation.
 int vd_read_frames(void* handle, int interval, int max_frames, int out_w,
                    int out_h, uint8_t* out) {
   auto* d = static_cast<Decoder*>(handle);
   if (!d || interval < 1 || max_frames < 1) return -1;
-  if (!ensure_sws(d, out_w, out_h)) return -2;
   // rewind: a handle previously drained by read_frames/read_window would
   // otherwise resume at EOF and return 0 frames, silently diverging from
   // the stateless cv2 fallback (fresh VideoCapture per call).  Best
@@ -122,43 +178,21 @@ int vd_read_frames(void* handle, int interval, int max_frames, int out_w,
   if (av_seek_frame(d->fmt, d->stream_index, first_ts,
                     AVSEEK_FLAG_BACKWARD) >= 0)
     avcodec_flush_buffers(d->codec);
+  d->seen = 0;
+  d->sent_eof = false;
+  return read_some(d, interval, max_frames, out_w, out_h, out);
+}
 
-  AVPacket* pkt = av_packet_alloc();
-  AVFrame* frame = av_frame_alloc();
-  int written = 0;
-  int64_t seen = 0;
-  const int frame_bytes = out_w * out_h * 3;
-  uint8_t* planes[1];
-  int strides[1] = {out_w * 3};
-
-  auto consume = [&](AVFrame* f) {
-    if (seen % interval == 0 && written < max_frames) {
-      planes[0] = out + static_cast<int64_t>(written) * frame_bytes;
-      sws_scale(d->sws, f->data, f->linesize, 0, d->codec->height, planes,
-                strides);
-      ++written;
-    }
-    ++seen;
-  };
-
-  int err = 0;
-  while (written < max_frames && av_read_frame(d->fmt, pkt) >= 0) {
-    if (pkt->stream_index == d->stream_index) {
-      if (avcodec_send_packet(d->codec, pkt) == 0) {
-        while (avcodec_receive_frame(d->codec, frame) == 0) consume(frame);
-      }
-    }
-    av_packet_unref(pkt);
-  }
-  // flush decoder
-  avcodec_send_packet(d->codec, nullptr);
-  while (written < max_frames &&
-         avcodec_receive_frame(d->codec, frame) == 0)
-    consume(frame);
-
-  av_frame_free(&frame);
-  av_packet_free(&pkt);
-  return err < 0 ? err : written;
+// Continue decoding from the current stream position (chunked reads for
+// bounded memory: decode a long video at native resolution without ever
+// buffering it whole).  First call after vd_open starts at frame 0; the
+// keep-every-interval-th counter carries across calls.  Returns 0 at
+// EOF, <0 on error.
+int vd_read_frames_seq(void* handle, int interval, int max_frames,
+                       int out_w, int out_h, uint8_t* out) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d || interval < 1 || max_frames < 1) return -1;
+  return read_some(d, interval, max_frames, out_w, out_h, out);
 }
 
 // Selective window decode: seek near start_sec, decode until end_sec,
@@ -182,6 +216,7 @@ int vd_read_window(void* handle, double start_sec, double end_sec,
   int64_t start_ts = static_cast<int64_t>(start_sec / tb) + start_off;
   av_seek_frame(d->fmt, d->stream_index, start_ts, AVSEEK_FLAG_BACKWARD);
   avcodec_flush_buffers(d->codec);
+  d->sent_eof = false;  // flush_buffers resets codec draining state
 
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();

@@ -38,6 +38,13 @@ def _load_lib():
         lib.vd_read_frames.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        try:
+            lib.vd_read_frames_seq.restype = ctypes.c_int
+            lib.vd_read_frames_seq.argtypes = lib.vd_read_frames.argtypes
+        except AttributeError:
+            # stale .so built before the chunked-read API: iter_frames
+            # falls back to one full read (make -C native to refresh)
+            lib.vd_read_frames_seq = None
         lib.vd_read_window.restype = ctypes.c_int
         lib.vd_read_window.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
@@ -116,6 +123,73 @@ class VideoDecoder:
         # nb_frames by more than a fixed 8*interval frames (r3 advisor
         # finding) — nb//16 tolerates ~6% metadata undercount
         return max(1, min(max_frames, -(-nb // interval) + max(8, nb // 16)))
+
+    def iter_frames(self, interval: int = 1, chunk: int = 256,
+                    max_frames: int = 4096,
+                    out_size: Optional[Tuple[int, int]] = None):
+        """Yield (n<=chunk, H, W, 3) uint8 RGB arrays, streaming.
+
+        Bounded-memory decode for full-resolution frames: a 1080p video
+        never exists whole in host memory (chunk=256 at 1080p ≈ 1.6 GB
+        vs ~25 GB for 4096 frames).  The native path continues the
+        stream losslessly across calls (vd_read_frames_seq); the cv2
+        fallback keeps one persistent VideoCapture.  Starts from frame
+        0 (the native handle is rewound first)."""
+        if out_size is None:
+            w, h, _, _ = self.info()
+        else:
+            w, h = out_size
+        remaining = self._cap_rows(interval, max_frames)
+        if self._h and getattr(_LIB, "vd_read_frames_seq", None):
+            # rewind so iteration always starts at frame 0 regardless of
+            # earlier reads on this handle (vd_read_frames semantics)
+            first = True
+            while remaining > 0:
+                n_req = min(chunk, remaining)
+                buf = np.empty((n_req, h, w, 3), dtype=np.uint8)
+                ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                if first:
+                    n = _LIB.vd_read_frames(self._h, interval, n_req,
+                                            w, h, ptr)
+                    first = False
+                else:
+                    n = _LIB.vd_read_frames_seq(self._h, interval, n_req,
+                                                w, h, ptr)
+                if n < 0:
+                    raise IOError(f"decode error {n} on {self.path}")
+                if n == 0:
+                    return
+                remaining -= n
+                yield buf[:n].copy()
+            return
+        if self._h:  # stale .so without the seq API: one full read
+            frames = self.read_frames(interval, max_frames, out_size)
+            for i in range(0, len(frames), chunk):
+                yield frames[i:i + chunk]
+            return
+        import cv2
+        cap = cv2.VideoCapture(self.path)
+        try:
+            buf: list = []
+            i = 0
+            while remaining > 0:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if i % interval == 0:
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    if (frame.shape[1], frame.shape[0]) != (w, h):
+                        frame = cv2.resize(frame, (w, h))
+                    buf.append(frame)
+                    remaining -= 1
+                    if len(buf) == chunk:
+                        yield np.stack(buf)
+                        buf = []
+                i += 1
+            if buf:
+                yield np.stack(buf)
+        finally:
+            cap.release()
 
     def read_window(self, start_sec: float, end_sec: float,
                     interval: int = 1, max_frames: int = 4096,

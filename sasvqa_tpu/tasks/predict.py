@@ -29,7 +29,10 @@ def load_frames(video: str, nframe: int, img_size: int) -> np.ndarray:
     from sasvqa_tpu.data.video_decode import decode_video
     from sasvqa_tpu.tools.extract_frames import (_uniform_centers,
                                                  preprocess_frames)
-    raw = decode_video(video, out_size=(img_size, img_size))
+    # native-resolution decode: preprocess_frames applies the HF
+    # processor's shortest-edge bicubic + center crop (an out_size
+    # decode would squash the aspect ratio — stage-A parity fix)
+    raw = decode_video(video)
     if len(raw) == 0:
         raise IOError(f"no frames decoded from {video}")
     frames = preprocess_frames(raw, img_size)

@@ -35,7 +35,7 @@ import numpy as np
 
 from sasvqa_tpu.core.logging import LOGGER
 from sasvqa_tpu.data.frame_store import FrameStoreWriter, save_vidmapping
-from sasvqa_tpu.data.video_decode import decode_video
+from sasvqa_tpu.data.video_decode import VideoDecoder
 from sasvqa_tpu.utils.basic import load_json
 
 # CLIP-style normalization constants used by the HF processors the
@@ -46,20 +46,57 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 BUCKETS = (64, 128, 256, 512, 1024, 2048)
 
 
+def _hf_resize_dims(h: int, w: int, size: int) -> Tuple[int, int]:
+    """Shortest-edge target dims, HF get_resize_output_image_size
+    semantics (default_to_square=False): short edge -> size, long edge
+    scaled by the same ratio and truncated toward zero."""
+    short, long = (h, w) if h <= w else (w, h)
+    new_short, new_long = size, int(size * long / short)
+    return (new_short, new_long) if h <= w else (new_long, new_short)
+
+
 def preprocess_frames(frames_u8: np.ndarray, img_size: int) -> np.ndarray:
     """(N, H, W, 3) uint8 RGB -> (N, S, S, 3) float32 normalized.
 
-    Equivalent of the HF image processor resize+normalize the reference
-    applies in InputGen (prefetch_loader.py:57-67)."""
-    import cv2
-    n = frames_u8.shape[0]
-    out = np.empty((n, img_size, img_size, 3), np.float32)
+    HF image-processor-exact: shortest-edge bicubic resize to img_size,
+    center crop img_size², rescale 1/255, CLIP mean/std normalize —
+    the CLIPImageProcessor pipeline the reference pushes decoded frames
+    through (prefetch_loader.py:57-67; processor defaults size=
+    {'shortest_edge': 224}, crop 224², resample=BICUBIC).  The resize
+    goes through PIL like the HF processor does (transformers converts
+    numpy inputs to PIL for resampling), so outputs are bit-identical —
+    tested against a locally constructed CLIPImageProcessor on
+    non-square inputs (tests/test_tools.py)."""
+    return normalize_frames(geometry_frames(frames_u8, img_size))
+
+
+def geometry_frames(frames_u8: np.ndarray, img_size: int) -> np.ndarray:
+    """(N, H, W, 3) uint8 -> (N, S, S, 3) uint8: the resize+crop stage.
+
+    Split out so the decode worker can run the (expensive, PIL) geometry
+    in the background thread and queue compact uint8 frames; the HF
+    processor's resize stage also round-trips through uint8 (PIL), so
+    the split is bit-exact."""
+    from PIL import Image
+    n, h, w = frames_u8.shape[:3]
+    if (h, w) == (img_size, img_size):
+        # already target-square (e.g. synthetic fixtures): resize would
+        # be the identity bicubic and the crop a no-op — skip both
+        return frames_u8
+    nh, nw = _hf_resize_dims(h, w, img_size)
+    top = (nh - img_size) // 2
+    left = (nw - img_size) // 2
+    out = np.empty((n, img_size, img_size, 3), np.uint8)
     for i in range(n):
-        f = frames_u8[i]
-        if f.shape[0] != img_size or f.shape[1] != img_size:
-            f = cv2.resize(f, (img_size, img_size),
-                           interpolation=cv2.INTER_CUBIC)
-        out[i] = f.astype(np.float32) / 255.0
+        f = np.asarray(Image.fromarray(frames_u8[i]).resize(
+            (nw, nh), Image.Resampling.BICUBIC))
+        out[i] = f[top:top + img_size, left:left + img_size]
+    return out
+
+
+def normalize_frames(frames_u8: np.ndarray) -> np.ndarray:
+    """uint8 -> float32, rescale 1/255 + CLIP mean/std normalize."""
+    out = frames_u8.astype(np.float32) / 255.0
     return (out - CLIP_MEAN) / CLIP_STD
 
 
@@ -221,11 +258,19 @@ def extract(video_paths: List[str], out_dir: str, args) -> Dict[str, int]:
     q: "queue.Queue" = queue.Queue(maxsize=4)
 
     def decode_worker():
+        # decode at NATIVE resolution in bounded chunks, then HF-exact
+        # shortest-edge resize + center crop per chunk (the reference
+        # pushes native-res cv2 frames through AutoProcessor,
+        # prefetch_loader.py:57-67 — an out_size=(S,S) decode would
+        # squash the aspect ratio and change every stored frame)
         for i, path in enumerate(video_paths):
             try:
-                frames = decode_video(path, interval=args.intv,
-                                      out_size=(args.img_size,
-                                                args.img_size))
+                with VideoDecoder(path) as dec:
+                    chunks = [geometry_frames(c, args.img_size)
+                              for c in dec.iter_frames(interval=args.intv)]
+                frames = (np.concatenate(chunks) if chunks else
+                          np.zeros((0, args.img_size, args.img_size, 3),
+                                   np.uint8))
             except Exception as e:
                 LOGGER.warning(f"decode failed for {path}: {e}")
                 frames = np.zeros((0, args.img_size, args.img_size, 3),
@@ -242,8 +287,8 @@ def extract(video_paths: List[str], out_dir: str, args) -> Dict[str, int]:
             item = q.get()
             if item is None:
                 break
-            i, frames_u8 = item
-            frames = preprocess_frames(frames_u8, args.img_size) \
+            i, frames_u8 = item  # already resized+cropped to (S, S)
+            frames = normalize_frames(frames_u8) \
                 if len(frames_u8) else np.zeros(
                     (0, args.img_size, args.img_size, 3), np.float32)
             n = frames.shape[0]

@@ -126,3 +126,40 @@ def test_mif_topk_downsample_semantics():
     assert topk_downsampled(scores, 3) == [1, 3, 5]
     # ds_rate=2: score positions 0,2,4 -> topk of [0.1,0.3,0.05] * 2
     assert topk_downsampled(scores, 2, ds_rate=2) == [2, 0]
+
+
+def test_preprocess_frames_matches_hf_processor():
+    """Stage-A preprocessing == a locally constructed CLIPImageProcessor
+    (shortest-edge bicubic + center crop + rescale + normalize) on
+    NON-SQUARE inputs — the reference pushes native-resolution frames
+    through AutoProcessor (prefetch_loader.py:57-67); r3 verdict item 2.
+    """
+    from transformers import CLIPImageProcessor
+    from sasvqa_tpu.tools.extract_frames import preprocess_frames
+
+    s = 32
+    proc = CLIPImageProcessor(size={"shortest_edge": s},
+                              crop_size={"height": s, "width": s})
+    rng = np.random.default_rng(0)
+    for h, w in [(48, 64), (64, 48), (37, 53), (33, 97), (s, s)]:
+        frames = rng.integers(0, 256, size=(3, h, w, 3), dtype=np.uint8)
+        ours = preprocess_frames(frames, s)            # (N, S, S, 3)
+        theirs = proc(images=list(frames),
+                      return_tensors="np")["pixel_values"]  # (N, 3, S, S)
+        np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), theirs,
+                                   atol=1e-5,
+                                   err_msg=f"input {h}x{w}")
+
+
+def test_hf_resize_dims_matches_hf():
+    from transformers.image_processing_utils import (
+        get_size_dict)
+    from transformers.image_transforms import (
+        get_resize_output_image_size)
+    from sasvqa_tpu.tools.extract_frames import _hf_resize_dims
+    for h, w in [(48, 64), (64, 48), (37, 53), (224, 224), (9, 1000),
+                 (99, 100), (100, 99)]:
+        img = np.zeros((h, w, 3), np.uint8)
+        want = get_resize_output_image_size(img, size=17,
+                                            default_to_square=False)
+        assert _hf_resize_dims(h, w, 17) == tuple(want), (h, w)

@@ -122,3 +122,28 @@ def test_output_buffer_capped_by_container_frame_count(video_path):
             assert dec._cap_rows(1, 5) == 5   # caller cap still wins
         frames = dec.read_frames()
     assert frames.shape[0] == 30
+
+
+def test_iter_frames_chunked_matches_full(video_path):
+    """Chunked native-resolution streaming (vd_read_frames_seq) must be
+    a lossless re-chunking of the one-shot read: the codec keeps
+    undelivered frames buffered across calls (stage-A memory-bound
+    decode, r3 verdict item)."""
+    with VideoDecoder(video_path) as dec:
+        full = dec.read_frames()
+        chunks = list(dec.iter_frames(chunk=7))
+    assert all(len(c) <= 7 for c in chunks)
+    np.testing.assert_array_equal(np.concatenate(chunks), full)
+
+
+def test_iter_frames_interval_carries_across_chunks(video_path):
+    with VideoDecoder(video_path) as dec:
+        full = dec.read_frames(interval=3)
+        chunks = list(dec.iter_frames(interval=3, chunk=4))
+    np.testing.assert_array_equal(np.concatenate(chunks), full)
+
+
+def test_iter_frames_max_frames_cap(video_path):
+    with VideoDecoder(video_path) as dec:
+        got = np.concatenate(list(dec.iter_frames(chunk=4, max_frames=9)))
+    assert got.shape[0] == 9
