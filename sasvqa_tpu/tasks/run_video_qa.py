@@ -371,9 +371,19 @@ def start_training(cfg) -> Dict[str, Any]:
 
     output_dir = cfg.get("output_dir") or "output/run"
     os.makedirs(output_dir, exist_ok=True)
-    save_training_meta(output_dir, cfg)
-    TB_LOGGER.create(os.path.join(output_dir, "log"))
-    add_log_to_file(os.path.join(output_dir, "log", "log.txt"))
+    # host-side observability is primary-process-only on a pod: every
+    # process computing identical global metrics would interleave
+    # duplicate rows into one shared scalars.jsonl / args.json (the
+    # reference gates the same way via NoOp on non-main ranks,
+    # src/utils/misc.py:26-31).  Checkpoint saves below stay COLLECTIVE
+    # — orbax requires every process to participate.
+    if jax.process_index() == 0:
+        save_training_meta(output_dir, cfg)
+        TB_LOGGER.create(os.path.join(output_dir, "log"))
+        add_log_to_file(os.path.join(output_dir, "log", "log.txt"))
+    else:
+        add_log_to_file(os.path.join(
+            output_dir, "log", f"log.host{jax.process_index()}.txt"))
     saver = ModelSaver(os.path.join(output_dir, "ckpt"))
     restorer = TrainingRestorer(
         output_dir,
@@ -381,7 +391,7 @@ def start_training(cfg) -> Dict[str, Any]:
                            * cfg.gradient_accumulation_steps), 1))
     resumed = restorer.restore_step > 0
     state = restorer.restore_into(state)
-    if resumed:
+    if resumed or jax.process_count() > 1:
         # orbax restores every leaf COMMITTED to its template sharding;
         # scalar/opt leaves come back committed to ONE device, and jit
         # refuses to mix them with batches sharded across the mesh
@@ -389,14 +399,29 @@ def start_training(cfg) -> Dict[str, Any]:
         # tests/test_e2e_train.py::test_resume_aligns_scan_micro_counter).
         # Re-place: leaves that carry a mesh sharding (TP/fsdp params)
         # keep it; everything else replicates over the mesh.
+        # Multi-host needs the same treatment on FRESH runs too: the
+        # deterministic-seeded init and state scalars are process-local
+        # arrays, and multi-controller jit only accepts GLOBAL arrays —
+        # each process contributes its identical copy to the replicated
+        # layout (proven by tests/test_multihost_train.py).
         from jax.sharding import NamedSharding
         from sasvqa_tpu.parallel.mesh import replicated
         rep = replicated(mesh)
 
         def replace(x):
             sh = getattr(x, "sharding", None)
-            return jax.device_put(
-                x, sh if isinstance(sh, NamedSharding) else rep)
+            if isinstance(sh, NamedSharding):
+                return jax.device_put(x, sh)
+            if jax.process_count() > 1 and isinstance(x, jax.Array):
+                # a COMMITTED local array (orbax restore, eager init)
+                # can't be device_put across hosts ("does not support
+                # cross-host device transfers"); every process holds the
+                # identical value, so move the DATA via host — each
+                # process fills its addressable shards of the global
+                # replicated layout (caught by the 2-process resume
+                # test, tests/test_multihost_train.py)
+                x = np.asarray(x)
+            return jax.device_put(x, rep)
 
         state = jax.tree_util.tree_map(replace, state)
 
@@ -528,6 +553,16 @@ def start_training(cfg) -> Dict[str, Any]:
 
     running_loss = RunningMeter("train_loss")
     dropout_key = jax.random.fold_in(key, 1)
+    if jax.process_count() > 1:
+        # fold_in commits its result to one local device; multi-controller
+        # jit needs a global array (same seed everywhere -> same key, so
+        # replication is value-correct).  Typed key arrays can't cross
+        # the addressability boundary in device_put — move the raw key
+        # DATA and re-wrap (found by tests/test_multihost_train.py).
+        from sasvqa_tpu.parallel.mesh import replicated
+        dropout_key = jax.random.wrap_key_data(jax.device_put(
+            np.asarray(jax.random.key_data(dropout_key)),
+            replicated(mesh)))
     start_micro = int(state.step)  # single host fetch before the hot loop
     global_step = start_micro // cfg.gradient_accumulation_steps
     last_saved_step = -1

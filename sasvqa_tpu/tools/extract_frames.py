@@ -36,7 +36,7 @@ import numpy as np
 from sasvqa_tpu.core.logging import LOGGER
 from sasvqa_tpu.data.frame_store import FrameStoreWriter, save_vidmapping
 from sasvqa_tpu.data.video_decode import VideoDecoder
-from sasvqa_tpu.utils.basic import load_json
+from sasvqa_tpu.utils.basic import load_json, save_json
 
 # CLIP-style normalization constants used by the HF processors the
 # reference runs frames through (AutoProcessor for git-base/clip).
@@ -235,20 +235,56 @@ def load_video_paths(dataset: str, dataset_root: str,
     return paths
 
 
-def extract(video_paths: List[str], out_dir: str, args) -> Dict[str, int]:
-    """Main extraction loop: decode (background thread) -> sample -> h5."""
+def parse_shard(spec: Optional[str]) -> Optional[Tuple[int, int]]:
+    """'i/N' -> (i, N); 'auto' -> (jax.process_index(), process_count()).
+
+    'auto' is the pod form: each host of a jax.distributed job claims
+    its stride slice without any external launcher bookkeeping (the
+    TPU-native equivalent of the reference's 4-GPU nn.DataParallel
+    extraction, extract_features.py:45-48 — sharding whole videos
+    across hosts/chips instead of splitting one model's batch)."""
+    if not spec:
+        return None
+    if spec == "auto":
+        import jax
+        return jax.process_index(), jax.process_count()
+    i, n = spec.split("/")
+    i, n = int(i), int(n)
+    if not 0 <= i < n:
+        raise ValueError(f"--shard {spec!r}: need 0 <= i < N")
+    return i, n
+
+
+def _shard_suffix(shard: Optional[Tuple[int, int]]) -> str:
+    return f".shard{shard[0]}of{shard[1]}" if shard else ""
+
+
+def extract(video_paths: List[str], out_dir: str, args,
+            shard: Optional[Tuple[int, int]] = None,
+            global_rows: Optional[List[int]] = None) -> Dict[str, int]:
+    """Main extraction loop: decode (background thread) -> sample -> h5.
+
+    ``shard``/``global_rows``: this invocation handles only its stride
+    slice of the full shuffled video list; outputs get a
+    ``.shard{i}of{N}`` suffix and the vidmapping records each video's
+    GLOBAL row so merge_extracted_shards can reassemble a store
+    identical to a 1-shot run (tests/test_shard_tools.py)."""
     os.makedirs(out_dir, exist_ok=True)
+    sfx = _shard_suffix(shard)
     h5_out = os.path.join(out_dir,
-                          f"{args.dataset}_video_feat.h5")
-    map_out = os.path.join(out_dir, "vidmapping.json")
+                          f"{args.dataset}_video_feat.h5{sfx}")
+    map_out = os.path.join(out_dir, f"vidmapping{sfx}.json"
+                           if shard else "vidmapping.json")
     # reference-exact id derivation (extract_features.py:28:
     # path.split('/')[-1].split('.')[0]) — NOTE this truncates at the
     # FIRST dot, so 'clip.v2.mp4' maps as 'clip'; kept because the
     # annotation side strips ids the same way (run_video_qa.py:69)
     video_ids = [os.path.basename(p).split(".")[0] for p in video_paths]
-    save_vidmapping(video_ids, map_out)
+    if global_rows is None:
+        global_rows = list(range(len(video_paths)))
+    save_json({vid: row for vid, row in zip(video_ids, global_rows)},
+              map_out)
 
-    rng = np.random.default_rng(args.seed)
     mdf = None
     if args.sampling_strategy == "repr":
         mdf = MDFEncoder(args.K, args.W, weights_path=args.vision_weights,
@@ -309,7 +345,12 @@ def extract(video_paths: List[str], out_dir: str, args) -> Dict[str, int]:
                 inds = _uniform_centers(n, args.K)
                 sel = frames[inds]
             elif args.sampling_strategy == "git6":
-                inds = git6_indices(n, args.K, 4, rng)
+                # per-video seeded rng (NOT one sequential stream): the
+                # draw depends only on (seed, global row), so a sharded
+                # extraction samples the exact frames a 1-shot run does
+                inds = git6_indices(
+                    n, args.K, 4,
+                    np.random.default_rng((args.seed, global_rows[i])))
                 sel = frames[inds]
             else:
                 raise ValueError(args.sampling_strategy)
@@ -320,6 +361,65 @@ def extract(video_paths: List[str], out_dir: str, args) -> Dict[str, int]:
     LOGGER.info(f"Total Failure:{debug_counter['Failure']} "
                 f"Zeros:{debug_counter['Zeros']}")
     return debug_counter
+
+
+def merge_extracted_shards(out_dir: str, args) -> Dict[str, int]:
+    """Reassemble per-shard stores into the single-run layout.
+
+    Each shard's vidmapping carries GLOBAL rows, so the merge needs no
+    knowledge of the stride rule: shard h5 row j lands at the j-th
+    mapping value.  The result — both the HDF5 frame content and the
+    row-ordered vidmapping.json — is identical to a 1-shot extraction
+    over the same list (asserted by tests/test_shard_tools.py)."""
+    import glob
+    import h5py
+    import re
+    from sasvqa_tpu.data.frame_store import DATASET_NAME
+
+    shard_h5s = sorted(glob.glob(os.path.join(
+        out_dir, f"{args.dataset}_video_feat.h5.shard*of*")))
+    if not shard_h5s:
+        raise FileNotFoundError(
+            f"no shard stores under {out_dir} — run extract with "
+            "--shard i/N first")
+    spec = re.compile(r"\.shard(\d+)of(\d+)$")
+    found = {}
+    for p in shard_h5s:
+        m = spec.search(p)
+        if not m:
+            continue
+        found[int(m.group(1))] = (p, int(m.group(2)))
+    n = next(iter(found.values()))[1]
+    missing = sorted(set(range(n)) - set(found))
+    if missing or any(total != n for _, total in found.values()):
+        raise FileNotFoundError(
+            f"incomplete shard set under {out_dir}: have "
+            f"{sorted(found)}, expected 0..{n - 1} of {n} "
+            f"(missing {missing})")
+
+    mappings = [load_json(os.path.join(
+        out_dir, f"vidmapping.shard{i}of{n}.json")) for i in range(n)]
+    total_rows = sum(len(m) for m in mappings)
+    rows_by_id = {vid: row for m in mappings for vid, row in m.items()}
+    assert len(rows_by_id) == total_rows, (
+        "duplicate video ids across shards — shards must partition "
+        "one video list")
+    ordered_ids = [vid for vid, _ in
+                   sorted(rows_by_id.items(), key=lambda kv: kv[1])]
+
+    h5_out = os.path.join(out_dir, f"{args.dataset}_video_feat.h5")
+    with h5py.File(found[0][0], "r") as f0:
+        _, k, d = f0[DATASET_NAME].shape
+    hw = int(round((d // 3) ** 0.5))
+    with FrameStoreWriter(h5_out, total_rows, k, hw) as writer:
+        for i in range(n):
+            with h5py.File(found[i][0], "r") as f:
+                ds = f[DATASET_NAME]
+                for local, grow in enumerate(mappings[i].values()):
+                    writer.write(int(grow), np.asarray(ds[local]))
+    save_vidmapping(ordered_ids, os.path.join(out_dir, "vidmapping.json"))
+    LOGGER.info(f"merged {n} shards -> {h5_out} ({total_rows} videos)")
+    return {"shards": n, "videos": total_rows}
 
 
 def _uniform_centers(n: int, k: int) -> np.ndarray:
@@ -347,17 +447,33 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--vision_weights", default=None,
                    help="local HF checkpoint for the MDF vision encoder")
     p.add_argument("--seed", type=int, default=666)
+    p.add_argument("--shard", default=None,
+                   help="'i/N': extract only the i-th stride slice of "
+                        "the video list (outputs suffixed .shard{i}of"
+                        "{N}); 'auto' = this jax process's index/count. "
+                        "Run --merge_shards afterwards.")
+    p.add_argument("--merge_shards", action="store_true",
+                   help="merge .shard*of* stores in the output dir into "
+                        "the final h5 + vidmapping.json")
     return p
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    out_dir = os.path.join(args.dataset_root, args.dataset, args.h5_fname)
+    if args.merge_shards:
+        return merge_extracted_shards(out_dir, args)
     paths = load_video_paths(args.dataset, args.dataset_root,
                              args.anno_path)
     rng = np.random.default_rng(args.seed)
     rng.shuffle(paths)
-    out_dir = os.path.join(args.dataset_root, args.dataset, args.h5_fname)
-    return extract(paths, out_dir, args)
+    shard = parse_shard(args.shard)
+    if shard is None:
+        return extract(paths, out_dir, args)
+    si, sn = shard
+    rows = list(range(si, len(paths), sn))
+    return extract([paths[r] for r in rows], out_dir, args,
+                   shard=shard, global_rows=rows)
 
 
 if __name__ == "__main__":

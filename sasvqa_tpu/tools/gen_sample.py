@@ -28,6 +28,7 @@ from sasvqa_tpu.data.frame_store import FrameStoreReader
 from sasvqa_tpu.data.tokenization import (WordPieceTokenizer,
                                           make_test_wordpiece)
 from sasvqa_tpu.sampling.mif import generate_inds_for_split
+from sasvqa_tpu.tools.extract_frames import _shard_suffix, parse_shard
 from sasvqa_tpu.utils.basic import load_json, save_json
 
 
@@ -56,6 +57,12 @@ def run_gen_cap(args) -> Dict[str, List[str]]:
     sample = store.read_nhwc(0)
     hw = sample.shape[1]
 
+    # --shard i/N: caption only this stride slice of the h5 rows (each
+    # shard can run on its own host/chip; merge with --task merge)
+    shard = parse_shard(args.shard)
+    all_rows = (list(range(num_videos)) if shard is None
+                else list(range(shard[0], num_videos, shard[1])))
+
     # batch several videos' frames through one decode call (batch_rows*K
     # frames per jit invocation; the reference generates row by row)
     rows_per = max(int(args.batch_rows), 1)
@@ -75,8 +82,8 @@ def run_gen_cap(args) -> Dict[str, List[str]]:
                                max_new_tokens=args.max_length - 1)
 
     captions: Dict[str, List[str]] = {}
-    for start in range(0, num_videos, rows_per):
-        rows = list(range(start, min(start + rows_per, num_videos)))
+    for start in range(0, len(all_rows), rows_per):
+        rows = all_rows[start:start + rows_per]
         frames = np.concatenate(
             [store.read_nhwc(r) for r in rows])         # (n*K, H, W, 3)
         if frames.shape[0] < bsz:                       # pad final chunk
@@ -87,10 +94,12 @@ def run_gen_cap(args) -> Dict[str, List[str]]:
         for j, r in enumerate(rows):
             captions[str(r)] = [tok.decode(out[j * k + i])
                                 for i in range(k)]
-        if rows[-1] + 1 >= 50 and (rows[-1] + 1) % 50 < rows_per:
-            LOGGER.info(f"captioned {rows[-1] + 1}/{num_videos}")
+        done = start + len(rows)
+        if done >= 50 and done % 50 < rows_per:
+            LOGGER.info(f"captioned {done}/{len(all_rows)}")
 
-    out_file = os.path.join(args.anno_dir, "frame_captions.json")
+    out_file = os.path.join(
+        args.anno_dir, f"frame_captions{_shard_suffix(shard)}.json")
     save_json(captions, out_file)
     LOGGER.info(f"wrote {out_file}")
     return captions
@@ -172,17 +181,85 @@ def run_gen_inds(args) -> None:
     _scorer = jax.jit(lambda p, ids, mask, types:
                       model.apply(p, ids, mask, types))
     score = lambda ids, mask, types: _scorer(params, ids, mask, types)
+    # --shard i/N: score only this stride slice of each split's QA
+    # samples; --task merge re-interleaves the per-shard outputs into
+    # the original sample order
+    shard = parse_shard(args.shard)
     for split in ("train", "val", "test"):
         read_file = os.path.join(args.anno_dir, f"qa_{split}.json")
         if not os.path.exists(read_file):
             continue
+        samples = load_json(read_file)
+        if shard is not None:
+            samples = samples[shard[0]::shard[1]]
         new_ds = generate_inds_for_split(
-            score, tok, load_json(read_file), all_captions, caption_key,
+            score, tok, samples, all_captions, caption_key,
             k=args.K, ds_rate=args.ds_rate,
             max_length=args.score_max_length)
-        out_file = os.path.join(args.anno_dir, f"qa_winds_{split}.json")
+        out_file = os.path.join(
+            args.anno_dir, f"qa_winds_{split}{_shard_suffix(shard)}.json")
         save_json(new_ds, out_file)
         LOGGER.info(f"wrote {out_file} ({len(new_ds)} samples)")
+
+
+def run_merge(args) -> None:
+    """Merge ``--shard`` outputs back into the single-run files.
+
+    frame_captions shards are a dict union re-ordered by h5 row;
+    qa_winds shards re-interleave by stride (shard i held samples
+    [i::N]) so the merged list matches a 1-shot run's sample order
+    exactly (tests/test_shard_tools.py)."""
+    import glob
+    import re
+    spec = re.compile(r"\.shard(\d+)of(\d+)\.json$")
+
+    def shard_set(prefix: str):
+        found = {}
+        for p in glob.glob(os.path.join(args.anno_dir,
+                                        f"{prefix}.shard*of*.json")):
+            m = spec.search(p)
+            if m:
+                found[int(m.group(1))] = (p, int(m.group(2)))
+        if not found:
+            return None
+        n = next(iter(found.values()))[1]
+        missing = sorted(set(range(n)) - set(found))
+        if missing or any(t != n for _, t in found.values()):
+            raise FileNotFoundError(
+                f"incomplete shard set for {prefix} under "
+                f"{args.anno_dir}: have {sorted(found)}, expected "
+                f"0..{n - 1} of {n} (missing {missing})")
+        return [found[i][0] for i in range(n)]
+
+    merged_any = False
+    caps = shard_set("frame_captions")
+    if caps:
+        union: Dict[str, List[str]] = {}
+        for p in caps:
+            union.update(load_json(p))
+        out = {str(r): union[str(r)] for r in sorted(map(int, union))}
+        out_file = os.path.join(args.anno_dir, "frame_captions.json")
+        save_json(out, out_file)
+        LOGGER.info(f"merged {len(caps)} caption shards -> {out_file} "
+                    f"({len(out)} videos)")
+        merged_any = True
+    for split in ("train", "val", "test"):
+        shards = shard_set(f"qa_winds_{split}")
+        if not shards:
+            continue
+        lists = [load_json(p) for p in shards]
+        n = len(lists)
+        total = sum(len(l) for l in lists)
+        merged = [lists[j % n][j // n] for j in range(total)]
+        out_file = os.path.join(args.anno_dir, f"qa_winds_{split}.json")
+        save_json(merged, out_file)
+        LOGGER.info(f"merged {n} winds shards -> {out_file} "
+                    f"({total} samples)")
+        merged_any = True
+    if not merged_any:
+        raise FileNotFoundError(
+            f"no .shard*of*.json outputs under {args.anno_dir} — run "
+            "gen_cap/gen_inds with --shard i/N first")
 
 
 def build_argparser():
@@ -192,7 +269,7 @@ def build_argparser():
     p.add_argument("--dataset_root", default="./dataset")
     p.add_argument("--anno_path", default="annotations")
     p.add_argument("--h5_path", default="processed")
-    p.add_argument("--task", choices=["gen_cap", "gen_inds"],
+    p.add_argument("--task", choices=["gen_cap", "gen_inds", "merge"],
                    default="gen_cap")
     p.add_argument("--vlm_model", default="microsoft/git-base-coco")
     p.add_argument("--sim_model",
@@ -220,6 +297,11 @@ def build_argparser():
     p.add_argument("--tiny", action="store_true",
                    help="tiny model dims (tests/synthetic)")
     p.add_argument("--seed", type=int, default=666)
+    p.add_argument("--shard", default=None,
+                   help="'i/N': process only the i-th stride slice "
+                        "(gen_cap: h5 rows; gen_inds: QA samples per "
+                        "split); 'auto' = this jax process's index/"
+                        "count. Merge afterwards with --task merge.")
     return p
 
 
@@ -234,6 +316,8 @@ def main(argv=None):
         if "git" not in args.vlm_model.lower():
             raise ValueError("captioning model must be a GIT variant")
         run_gen_cap(args)
+    elif args.task == "merge":
+        run_merge(args)
     else:
         run_gen_inds(args)
 
