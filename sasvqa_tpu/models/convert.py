@@ -257,7 +257,70 @@ def convert_blip_text(sd: Dict[str, Any], num_layers: int,
 
 
 # --------------------------------------------------------------------------
+# torch.nn fusion-head layers (the reference's CrossAttentionLayer is
+# built from torch.nn.TransformerDecoder, modeling.py:366-374)
+
+
+def _torch_mha(sd, prefix):
+    """torch.nn.MultiheadAttention (packed in_proj) -> our
+    MultiHeadAttention {q,k,v,out}_proj params."""
+    w = _np(sd[f"{prefix}.in_proj_weight"])    # (3D, D)
+    b = _np(sd[f"{prefix}.in_proj_bias"])
+    d = w.shape[1]
+
+    def part(i):
+        return {"kernel": w[i * d:(i + 1) * d].T,
+                "bias": b[i * d:(i + 1) * d]}
+
+    return {"q_proj": part(0), "k_proj": part(1), "v_proj": part(2),
+            "out_proj": _lin(sd, f"{prefix}.out_proj")}
+
+
+def _torch_decoder_layer(sd, p):
+    """torch.nn.TransformerDecoderLayer -> fusion.TransformerDecoderLayer."""
+    return {
+        "self_attn": _torch_mha(sd, f"{p}.self_attn"),
+        "cross_attn": _torch_mha(sd, f"{p}.multihead_attn"),
+        "linear1": _lin(sd, f"{p}.linear1"),
+        "linear2": _lin(sd, f"{p}.linear2"),
+        "norm1": _ln(sd, f"{p}.norm1"),
+        "norm2": _ln(sd, f"{p}.norm2"),
+        "norm3": _ln(sd, f"{p}.norm3"),
+    }
+
+
+# --------------------------------------------------------------------------
 # top-level assembly
+
+
+def convert_clip_classifier(sd: Dict[str, Any], num_text_layers: int,
+                            num_vision_layers: int,
+                            n_fusion_layers: int = 1) -> Dict[str, Any]:
+    """Reference ``CLIPForSeqClassification`` state dict
+    (src/modeling/modeling.py:393-448) -> ``CLIPVideoQA`` params — the
+    WHOLE trained model, not just the encoders: CLIP text+vision towers,
+    the dec-only CrossAttentionLayer (a torch TransformerDecoder) and
+    the linear answer classifier.  Lets a reference-finetuned classifier
+    checkpoint load directly.  ``CLIPModelforFinetune`` dicts (the
+    ``VLModel.`` wrapper prefix, clip_model.py:9-13) are accepted too.
+    """
+    if any(k.startswith("VLModel.") for k in sd):
+        sd = {k[len("VLModel."):]: v for k, v in sd.items()
+              if k.startswith("VLModel.")}
+    return {
+        "txt_model": convert_clip_text(
+            sd, num_text_layers, prefix="vlm.txt_model.text_model"),
+        "vis_model": convert_clip_vision(
+            sd, num_vision_layers, prefix="vlm.vis_model.vision_model",
+            projection_key="vlm.vis_model.visual_projection"),
+        "answer_head": {
+            "attention": {
+                f"layers_{i}": _torch_decoder_layer(
+                    sd, f"attention.attention.layers.{i}")
+                for i in range(n_fusion_layers)},
+            "classifier": _lin(sd, "classifier"),
+        },
+    }
 
 
 def convert_clip_video_qa(sd: Dict[str, Any], num_text_layers: int,

@@ -50,6 +50,13 @@ class GITConfig:
     layer_norm_eps: float = 1e-12
     hidden_act: str = "gelu"
     dropout: float = 0.1
+    # attention-PROBABILITY dropout (HF GitConfig
+    # attention_probs_dropout_prob default 0.1): the reference trains
+    # through HF GitSelfAttention's dropout on softmax weights
+    # (modeling.py:29-163 runs HF GitLayer internals).  Applied
+    # in-kernel by the Pallas path (ops/git_flash._hash_keep) and by the
+    # same hash mask on the dense path — PARITY #8 retired r4.
+    attention_dropout: float = 0.1
     pad_token_id: int = 0
     cls_token_id: int = 101
     sep_token_id: int = 102  # doubles as EOS for generation
@@ -76,6 +83,7 @@ class GitAttention(nn.Module):
     num_heads: int
     layer_norm_eps: float
     dropout_rate: float
+    attn_dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -97,6 +105,16 @@ class GitAttention(nn.Module):
                deterministic: bool = True,
                use_flash: Optional[bool] = None,
                git_mask: Optional[Tuple[int, jax.Array]] = None) -> jax.Array:
+        # attention-probability dropout (HF GitSelfAttention semantics,
+        # reference training path — PARITY #8): per-(layer, step) seed
+        # from the flax dropout stream; the coordinate hash
+        # (ops/git_flash._hash_keep) decorrelates (b, h, row, col)
+        drop_on = self.attn_dropout_rate > 0.0 and not deterministic
+        seed = None
+        if drop_on:
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(self.make_rng("dropout"), (), jnp.uint32),
+                jnp.int32)
         if git_mask is not None:
             from sasvqa_tpu.ops.git_flash import git_flash_attention
             num_img, attention_mask = git_mask
@@ -105,7 +123,17 @@ class GitAttention(nn.Module):
             # deterministic forward still work — r3 advisor finding)
             ctx = merge_heads(git_flash_attention(
                 q, k, v, attention_mask, num_img,
-                fwd_only=deterministic))
+                fwd_only=deterministic,
+                dropout_rate=self.attn_dropout_rate if drop_on else 0.0,
+                dropout_seed=seed))
+        elif drop_on:
+            # non-Pallas training path (flash off / CPU): dense XLA with
+            # the SAME hash mask the kernels generate — train-on-CPU and
+            # train-on-TPU make identical masking decisions per seed
+            from sasvqa_tpu.ops.git_flash import (
+                dense_attention_with_hash_dropout)
+            ctx = merge_heads(dense_attention_with_hash_dropout(
+                q, k, v, bias, seed, self.attn_dropout_rate))
         else:
             ctx = merge_heads(dot_product_attention(q, k, v, bias=bias,
                                                     use_flash=use_flash))
@@ -125,6 +153,7 @@ class GitLayer(nn.Module):
         c = self.config
         self.attention = GitAttention(c.hidden_size, c.num_heads,
                                       c.layer_norm_eps, c.dropout,
+                                      attn_dropout_rate=c.attention_dropout,
                                       dtype=self.dtype)
         # shared BERT FFN block: identical structure AND param names
         # (intermediate/output/ln), so converters and checkpoints are

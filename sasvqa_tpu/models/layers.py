@@ -11,14 +11,14 @@ Parameter layout intentionally mirrors the HF module names (q_proj /
 k_proj / v_proj / out_proj, fc1 / fc2, ...) so the HF->Flax weight
 converter (models/convert.py) is a mechanical rename.
 
-DELIBERATE DIVERGENCE — attention-probability dropout: the HF models
-apply ``attention_probs_dropout_prob`` (0.1) to the softmax weights;
-every attention block here applies dropout only after the output
-projection.  Dropout inside the attention matmul is incompatible with
-the Pallas flash kernels (the standard flash formulation recomputes
-probabilities in backward and never materialises them), and regularises
-only marginally differently; hidden/output dropout rates are preserved.
-Documented also in PARITY.md.
+Attention-probability dropout: the blocks in THIS module apply dropout
+only after the output projection — which matches every HF family that
+trains here except GIT (CLIP/BLIP default attention_probs_dropout_prob
+to 0.0).  The GIT text stack, the one reference path that trains with
+softmax-weight dropout 0.1, implements it via the coordinate-hash mask
+in ``ops/git_flash`` (regenerated inside the recompute-in-backward
+flash kernels; same hash on the dense path) — see ``models/git.py`` and
+PARITY.md divergence #8 (retired r4).
 """
 
 from __future__ import annotations

@@ -115,6 +115,13 @@ def build_model(cfg, dtype=jnp.float32):
         gc = _git_config(name)
         if vocab_override:
             gc = dataclasses.replace(gc, vocab_size=vocab_override)
+        # HF GitConfig knob names accepted for both dropouts
+        hd = cfg.model.get("hidden_dropout_prob")
+        if hd is not None:
+            gc = dataclasses.replace(gc, dropout=float(hd))
+        ad = cfg.model.get("attention_probs_dropout_prob")
+        if ad is not None:
+            gc = dataclasses.replace(gc, attention_dropout=float(ad))
         if img_size and img_size != gc.vision.image_size:
             gc = dataclasses.replace(
                 gc, vision=dataclasses.replace(gc.vision,

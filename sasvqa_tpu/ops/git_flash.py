@@ -75,8 +75,8 @@ _BLOCK_CANDIDATES = ((512, 1024), (896, 896), (768, 768), (640, 640),
 _SPLIT_BWD_PENALTY = 1.10
 
 
-def _choose_blocks(s: int, dh: int = 64,
-                   fwd_only: bool = False) -> Tuple[int, int]:
+def _choose_blocks(s: int, dh: int = 64, fwd_only: bool = False,
+                   rate: float = 0.0) -> Tuple[int, int]:
     """Pick (bq, bk) minimising estimated fwd+bwd cost for sequence s.
 
     Cost = padded work s_pad^2, scaled by _SPLIT_BWD_PENALTY when the
@@ -93,7 +93,8 @@ def _choose_blocks(s: int, dh: int = 64,
     for bq, bk in _BLOCK_CANDIDATES:
         l = math.lcm(bq, bk)
         s_pad = -(-s // l) * l
-        penalty = 1.0 if fwd_only or _fused_eligible(s_pad, dh, bq, bk) \
+        penalty = 1.0 if fwd_only or _fused_eligible(s_pad, dh, bq, bk,
+                                                     rate) \
             else _SPLIT_BWD_PENALTY
         cost = (s_pad * s_pad * penalty, -(bq * bk))
         if best_cost is None or cost < best_cost:
@@ -127,6 +128,83 @@ def set_interpret_mode(on: bool) -> None:
     _INTERPRET = on
 
 
+def _i32(x: int) -> jnp.ndarray:
+    """uint32 literal -> wrapped int32 constant."""
+    return jnp.int32(x - (1 << 32) if x >= (1 << 31) else x)
+
+
+def _hash_keep(bh, rows, cols, seed, rate: float):
+    """Attention-probability dropout factor {0, 1/(1-rate)} as f32.
+
+    Counter-based (stateless) RNG: a lowbias32-style integer finalizer
+    hashed on the ELEMENT's absolute (batch*head, row, col) coordinates
+    plus a per-call seed.  Properties the design needs:
+
+    - the forward and the (differently-blocked) backward kernels
+      regenerate bit-identical masks from coordinates alone — no mask
+      tensor is ever materialised in HBM (an S x S bf16 mask would add
+      ~40 MB/layer-step of traffic at the flagship shape);
+    - int32 mul/xor/shift wrap identically in Mosaic, XLA:TPU and
+      XLA:CPU, so the XLA fallback path and interpret-mode tests
+      reproduce the compiled kernels' masks exactly (pltpu.prng_* would
+      be TPU-only AND tile-layout-dependent across block shapes).
+
+    The reference trains through HF GitSelfAttention's dropout(0.1) on
+    softmax probabilities (PARITY #8); this applies the same semantics:
+    P_drop = mask * P / (1-rate) AFTER normalisation, so the flash
+    recurrences keep l = rowsum(exp) unmasked.
+    """
+    h = (seed
+         + bh * _i32(0x9E3779B9)          # golden-ratio per-(b,h) offset
+         + rows * _i32(0x85EBCA6B)
+         + cols * _i32(0xC2B2AE35))
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * _i32(0x7FEB352D)
+    h = h ^ jax.lax.shift_right_logical(h, 15)
+    h = h * _i32(0x846CA68B)
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    r = h & jnp.int32(0x7FFFFFFF)         # 31 uniform bits
+    thresh = jnp.int32(int(rate * (1 << 31)))
+    inv_keep = jnp.float32(1.0 / (1.0 - rate))
+    return jnp.where(r >= thresh, inv_keep, 0.0)
+
+
+def _dropout_block(bh, qi_base, ki_base, shape, seed_ref, rate: float):
+    """Kernel-side factor for one (BQ, BK) tile.
+
+    ``bh`` (grid dim 0's program id) is hoisted to the kernel top level
+    by every caller: pl.program_id inside a fori_loop body fails to
+    lower in interpret mode (closed_call subjaxpr)."""
+    rows = qi_base + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = ki_base + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return _hash_keep(bh, rows, cols, seed_ref[0], rate)
+
+
+def hash_dropout_factor(b: int, h: int, s: int, seed, rate: float):
+    """(B, H, S, S) factor tensor from the SAME hash — the XLA fallback
+    and the parity-test oracle for the in-kernel generation."""
+    bh = jnp.arange(b * h, dtype=jnp.int32)[:, None, None]
+    rows = jnp.arange(s, dtype=jnp.int32)[None, :, None]
+    cols = jnp.arange(s, dtype=jnp.int32)[None, None, :]
+    return _hash_keep(bh, rows, cols, seed, rate).reshape(b, h, s, s)
+
+
+def dense_attention_with_hash_dropout(q, k, v, bias, seed, rate: float):
+    """XLA dense attention applying the kernels' exact dropout mask —
+    the non-Pallas training path (CPU tests, flash off), bitwise the
+    same masking decisions as the flash kernels given the same seed."""
+    b, h, s, dh = q.shape
+    scale = dh ** -0.5
+    s_ = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                    preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s_ = s_ + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s_, axis=-1)
+    p = p * hash_dropout_factor(b, h, s, seed, rate)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def _mask_ok(rows, cols, cm, num_img):
     """f32 validity (BQ, BK): 1 = attendable."""
     col_img = jnp.where(cols < num_img, 1.0, 0.0)
@@ -156,8 +234,9 @@ def _n_unmasked_blocks(num_img: int, bk: int, nblk: int) -> int:
     return min(num_img // bk, nblk)
 
 
-def _fwd_kernel(colmask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                bk: int, scale: float, num_img: int):
+def _fwd_kernel(seed_ref, colmask_ref, q_ref, k_ref, v_ref, o_ref,
+                lse_ref, *, bk: int, scale: float, num_img: int,
+                rate: float = 0.0):
     """grid = (B*H, nq).
 
     Matmul inputs stay in the storage dtype (bf16): the v5e MXU runs
@@ -166,8 +245,14 @@ def _fwd_kernel(colmask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     the softmax recurrences (max/exp/sum, LSE) are f32; P is cast back
     to bf16 for the P@V product (standard flash practice — P in [0,1]
     with f32 row stats loses ~1e-3 relative, well under bf16 training
-    noise)."""
+    noise).
+
+    ``rate`` > 0 applies attention-probability dropout (_hash_keep):
+    the keep/scale factor multiplies P for the P@V product only — the
+    row statistics (l, LSE) stay those of the UNMASKED softmax, which
+    is exactly dropout-after-softmax."""
     qi = pl.program_id(1)
+    bh = pl.program_id(0)
     bq = q_ref.shape[1]
     q = q_ref[0]                                      # (BQ, Dh) bf16
     lk = k_ref.shape[1]
@@ -185,6 +270,9 @@ def _fwd_kernel(colmask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         p = jnp.exp(s - m_new[:, None])
         corr = jnp.exp(m_run - m_new)
         l_new = l_run * corr + jnp.sum(p, axis=-1)
+        if rate > 0.0:
+            p = p * _dropout_block(bh, qi * bq, i * bk, (bq, bk),
+                                   seed_ref, rate)
         acc_new = acc * corr[:, None] + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -205,10 +293,19 @@ def _fwd_kernel(colmask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     lse_ref[0, 0, :] = m_run + jnp.log(safe_l)
 
 
-def _dq_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-               dq_ref, *, bk: int, scale: float, num_img: int):
-    """grid = (B*H, nq): dQ for one query block."""
+def _dq_kernel(seed_ref, colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+               lse_ref, dq_ref, *, bk: int, scale: float, num_img: int,
+               rate: float = 0.0):
+    """grid = (B*H, nq): dQ for one query block.
+
+    Dropout backward (all three gradient kernels): with
+    Q = mask*P/(1-rate), O = Q V and D_i = rowsum(dO*O) UNCHANGED
+    (D_i = sum_k Q_ik dO_i.V_k exactly because O used the dropped
+    probs), the chain rule gives dS = P * (mask_scaled(dO V^T) - D) and
+    dV = Q^T dO — so the mask factor simply multiplies dp (and the
+    dV-side P); the masks regenerate from coordinates (_hash_keep)."""
     qi = pl.program_id(1)
+    bh = pl.program_id(0)
     bq = q_ref.shape[1]
     q = q_ref[0]                                       # bf16
     do = do_ref[0]
@@ -228,6 +325,9 @@ def _dq_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         p = jnp.exp(s - lse[:, None])                  # (BQ, BK)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            dp = dp * _dropout_block(bh, qi * bq, i * bk, (bq, bk),
+                                     seed_ref, rate)
         ds = p * (dp - d_row[:, None])
         return dq_acc + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -243,9 +343,9 @@ def _dq_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
-def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                dk_ref, dv_ref, *, bq: int, scale: float, num_img: int,
-                nk_free: int, nk: int):
+def _dkv_kernel(seed_ref, colmask_ref, q_ref, k_ref, v_ref, do_ref,
+                o_ref, lse_ref, dk_ref, dv_ref, *, bq: int, scale: float,
+                num_img: int, nk_free: int, nk: int, rate: float = 0.0):
     """grid = (B*H, nk): dK/dV for one key block.
 
     The mask decision is per KEY block = per program; like the fused
@@ -253,6 +353,7 @@ def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     ``pl.when`` pair inside ONE pallas_call (the r3 original launched
     two calls and paid dK/dV concats for it)."""
     ki = pl.program_id(1)
+    bh = pl.program_id(0)
     bk = k_ref.shape[1]
     k = k_ref[0]                                       # (BK, Dh) bf16
     v = v_ref[0]
@@ -274,12 +375,18 @@ def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                 s = _mask_block(s, i * bq, ki * bk, colmask_ref,
                                 num_img)
             p = jnp.exp(s - lse[:, None])              # (BQ, BK)
-            pc = p.astype(do.dtype)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if rate > 0.0:
+                dm = _dropout_block(bh, i * bq, ki * bk, (bq, bk),
+                                    seed_ref, rate)
+                pc = (p * dm).astype(do.dtype)         # dV uses dropped P
+                dp = dp * dm
+            else:
+                pc = p.astype(do.dtype)
             dv_acc = dv_acc + jax.lax.dot_general(
                 pc, do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)    # (BK, Dh)
-            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
             ds = p * (dp - d_row[:, None])             # (BQ, BK)
             dk_acc = dk_acc + jax.lax.dot_general(
                 ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -305,10 +412,10 @@ def _dkv_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             run(True)
 
 
-def _fused_bwd_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
-                      lse_ref, dq_ref, dk_ref, dv_ref, *, bq: int,
+def _fused_bwd_kernel(seed_ref, colmask_ref, q_ref, k_ref, v_ref, do_ref,
+                      o_ref, lse_ref, dq_ref, dk_ref, dv_ref, *, bq: int,
                       scale: float, num_img: int, nk_free: int,
-                      nk: int):
+                      nk: int, rate: float = 0.0):
     """grid = (B*H, nk): all three gradients in one pass per key block.
 
     dq_ref is the full (1, s_pad, Dh) f32 row whose index map ignores
@@ -328,6 +435,7 @@ def _fused_bwd_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
     dK/dV concats) 8.00; one all-masked call 7.39; this 7.21 (1.11x),
     bitwise-identical outputs."""
     ki = pl.program_id(1)
+    bh = pl.program_id(0)
     bk = k_ref.shape[1]
     k = k_ref[0]                                       # (BK, Dh) bf16
     v = v_ref[0]
@@ -353,11 +461,18 @@ def _fused_bwd_kernel(colmask_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
                 s = _mask_block(s, i * bq, ki * bk, colmask_ref,
                                 num_img)
             p = jnp.exp(s - lse[:, None])              # (BQ, BK)
-            dv_acc = dv_acc + jax.lax.dot_general(
-                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (BK, Dh)
             dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
+            if rate > 0.0:
+                dm = _dropout_block(bh, i * bq, ki * bk, (bq, bk),
+                                    seed_ref, rate)
+                pd = (p * dm).astype(do.dtype)         # dV uses dropped P
+                dp = dp * dm
+            else:
+                pd = p.astype(do.dtype)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                pd, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (BK, Dh)
             ds = (p * (dp - d_row[:, None]) * scale).astype(q.dtype)
             dk_acc = dk_acc + jax.lax.dot_general(
                 ds, q, (((0,), (0,)), ((), ())),
@@ -404,10 +519,16 @@ def _prepare(q, k, v, attention_mask, num_img, bq, bk):
     return qp, kp, vp, colmask, s_pad
 
 
+def _seed_spec():
+    """(1,) int32 dropout seed, whole-array in SMEM for every program."""
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
 def _specs(bq_blk, s_pad, dh, h):
-    """(colmask, q, k, v) input specs shared by fwd/dq; block over dim 1
-    of the first tensor arg with width bq_blk."""
+    """(seed, colmask, q, k, v) input specs shared by fwd/dq; block over
+    dim 1 of the first tensor arg with width bq_blk."""
     return [
+        _seed_spec(),
         pl.BlockSpec((1, 1, s_pad), lambda bh_i, qi, h=h: (bh_i // h, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bq_blk, dh), lambda bh_i, qi: (bh_i, qi, 0),
@@ -419,13 +540,13 @@ def _specs(bq_blk, s_pad, dh, h):
     ]
 
 
-def _forward(q, k, v, attention_mask, num_img, bq, bk):
+def _forward(q, k, v, attention_mask, seed, num_img, bq, bk, rate=0.0):
     b, h, s, dh = q.shape
     qp, kp, vp, colmask, s_pad = _prepare(q, k, v, attention_mask,
                                           num_img, bq, bk)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, bk=bk, scale=dh ** -0.5,
-                          num_img=num_img),
+                          num_img=num_img, rate=rate),
         grid=(b * h, s_pad // bq),
         in_specs=_specs(bq, s_pad, dh, h),
         out_specs=(
@@ -445,9 +566,10 @@ def _forward(q, k, v, attention_mask, num_img, bq, bk):
         ),
         compiler_params=_PARALLEL2,
         interpret=_INTERPRET,
-    )(colmask, qp, kp, vp)
+    )(seed, colmask, qp, kp, vp)
     return out.reshape(b, h, s_pad, dh)[:, :, :s, :], (qp, kp, vp, colmask,
-                                                       out, lse, s_pad)
+                                                       out, lse, s_pad,
+                                                       seed)
 
 
 # Fused single-pass backward (default).  The split two-pass kernels are
@@ -488,31 +610,44 @@ _FUSED_MAX_SPAD = {(512, 1024): 3072, (896, 896): 3200,
 _FUSED_MAX_SPAD_DEFAULT = 2944
 
 
-def _fused_vmem_estimate(s_pad, dh, bq, bk):
-    return bq * bk * 14 + s_pad * dh * 16
+def _fused_vmem_estimate(s_pad, dh, bq, bk, rate=0.0):
+    # dropout adds (bq, bk) int32 row/col iotas + the f32 factor tile
+    per_elem = 14 if rate == 0.0 else 26
+    return bq * bk * per_elem + s_pad * dh * 16
 
 
-def _fused_eligible(s_pad: int, dh: int, bq: int, bk: int) -> bool:
+# With dropout the caps above (probed WITHOUT the extra tile
+# temporaries) don't hold; until dropout-specific compile probes run,
+# a blanket conservative cap keeps the flagship shape (s_pad 1792)
+# fused while larger rows fall back to the split kernels.
+_FUSED_MAX_SPAD_DROPOUT = 2688
+
+
+def _fused_eligible(s_pad: int, dh: int, bq: int, bk: int,
+                    rate: float = 0.0) -> bool:
     cap = _FUSED_MAX_SPAD.get((bq, bk), _FUSED_MAX_SPAD_DEFAULT)
+    if rate > 0.0:
+        cap = min(cap, _FUSED_MAX_SPAD_DROPOUT)
     return (FUSED_BWD and s_pad <= cap and
-            _fused_vmem_estimate(s_pad, dh, bq, bk) <= _FUSED_VMEM_BUDGET)
+            _fused_vmem_estimate(s_pad, dh, bq, bk, rate)
+            <= _FUSED_VMEM_BUDGET)
 
 
-def _backward(res, g, num_img, bq, bk, b, h, s, dh):
-    s_pad = res[-1]
-    fn = (_backward_fused if _fused_eligible(s_pad, dh, bq, bk)
+def _backward(res, g, num_img, bq, bk, b, h, s, dh, rate=0.0):
+    s_pad = res[6]
+    fn = (_backward_fused if _fused_eligible(s_pad, dh, bq, bk, rate)
           else _backward_split)
-    return fn(res, g, num_img, bq, bk, b, h, s, dh)
+    return fn(res, g, num_img, bq, bk, b, h, s, dh, rate)
 
 
-def _backward_fused(res, g, num_img, bq, bk, b, h, s, dh):
+def _backward_fused(res, g, num_img, bq, bk, b, h, s, dh, rate=0.0):
     """ONE pallas_call over every key block; the mask-free/masked split
     is the program-level pl.when inside _fused_bwd_kernel.  (The r3
     original launched two calls — mask-free prefix + masked tail — and
     paid a second f32 dQ array, an XLA add and dK/dV concats for it:
     measured 8.00 vs 7.21 ms per layer backward at the flagship shape,
     identical outputs.)"""
-    qp, kp, vp, colmask, outp, lse, s_pad = res
+    qp, kp, vp, colmask, outp, lse, s_pad, seed = res
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
                  ).reshape(b * h, s_pad, dh)
 
@@ -534,9 +669,10 @@ def _backward_fused(res, g, num_img, bq, bk, b, h, s, dh):
     nk_free = _n_unmasked_blocks(num_img, bk, nk)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, bq=bq, scale=dh ** -0.5,
-                          num_img=num_img, nk_free=nk_free, nk=nk),
+                          num_img=num_img, nk_free=nk_free, nk=nk,
+                          rate=rate),
         grid=(b * h, nk),
-        in_specs=[cm_spec, full(), kblk(), kblk(), full(),
+        in_specs=[_seed_spec(), cm_spec, full(), kblk(), kblk(), full(),
                   full(), lse_full],
         out_specs=(dq_spec, kblk(), kblk()),
         out_shape=(
@@ -550,14 +686,14 @@ def _backward_fused(res, g, num_img, bq, bk, b, h, s, dh):
         ),
         compiler_params=_PARALLEL_ROWS_ONLY,
         interpret=_INTERPRET,
-    )(colmask, qp, kp, vp, gp, outp, lse)
+    )(seed, colmask, qp, kp, vp, gp, outp, lse)
 
     unpad = lambda x: x.reshape(b, h, s_pad, dh)[:, :, :s, :]
     return unpad(dq.astype(qp.dtype)), unpad(dk), unpad(dv)
 
 
-def _backward_split(res, g, num_img, bq, bk, b, h, s, dh):
-    qp, kp, vp, colmask, outp, lse, s_pad = res
+def _backward_split(res, g, num_img, bq, bk, b, h, s, dh, rate=0.0):
+    qp, kp, vp, colmask, outp, lse, s_pad, seed = res
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
                  ).reshape(b * h, s_pad, dh)
 
@@ -575,14 +711,15 @@ def _backward_split(res, g, num_img, bq, bk, b, h, s, dh):
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, bk=bk, scale=dh ** -0.5,
-                          num_img=num_img),
+                          num_img=num_img, rate=rate),
         grid=(b * h, s_pad // bq),
-        in_specs=[cm_spec, blk(), full(), full(), blk(), blk(), lse_blk],
+        in_specs=[_seed_spec(), cm_spec, blk(), full(), full(), blk(),
+                  blk(), lse_blk],
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, dh), qp.dtype),
         compiler_params=_PARALLEL2,
         interpret=_INTERPRET,
-    )(colmask, qp, kp, vp, gp, outp, lse)
+    )(seed, colmask, qp, kp, vp, gp, outp, lse)
 
     # dK/dV: the mask decision is per key block — the pl.when split on
     # the image-column prefix lives inside the kernel (one call)
@@ -592,9 +729,10 @@ def _backward_split(res, g, num_img, bq, bk, b, h, s, dh):
                                 memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, bq=bq, scale=dh ** -0.5,
-                          num_img=num_img, nk_free=nk_free, nk=nk),
+                          num_img=num_img, nk_free=nk_free, nk=nk,
+                          rate=rate),
         grid=(b * h, nk),
-        in_specs=[cm_spec, full(), kblk(), kblk(), full(),
+        in_specs=[_seed_spec(), cm_spec, full(), kblk(), kblk(), full(),
                   full(), lse_full],
         out_specs=(kblk(), kblk()),
         out_shape=(
@@ -602,7 +740,7 @@ def _backward_split(res, g, num_img, bq, bk, b, h, s, dh):
             jax.ShapeDtypeStruct((b * h, s_pad, dh), vp.dtype)),
         compiler_params=_PARALLEL2,
         interpret=_INTERPRET,
-    )(colmask, qp, kp, vp, gp, outp, lse)
+    )(seed, colmask, qp, kp, vp, gp, outp, lse)
 
     unpad = lambda x: x.reshape(b, h, s_pad, dh)[:, :, :s, :]
     return unpad(dq), unpad(dk), unpad(dv)
@@ -611,7 +749,9 @@ def _backward_split(res, g, num_img, bq, bk, b, h, s, dh):
 def git_flash_attention(q, k, v, attention_mask, num_img: int,
                         block_q: Optional[int] = None,
                         block_k: Optional[int] = None,
-                        fwd_only: bool = False):
+                        fwd_only: bool = False,
+                        dropout_rate: float = 0.0,
+                        dropout_seed=None):
     """(B, H, S, Dh) self-attention under the GIT combined mask.
 
     attention_mask: (B, L) text padding mask with S = num_img + L.
@@ -622,10 +762,20 @@ def git_flash_attention(q, k, v, attention_mask, num_img: int,
     custom_vjp, so forward and backward agree.  ``fwd_only`` is a
     perf-only hint (eval/inference: no split-backward penalty in the
     block choice); gradients through a fwd_only call remain correct.
+
+    ``dropout_rate`` > 0 applies attention-probability dropout with the
+    coordinate-hash RNG (_hash_keep) — the reference trains through HF
+    GitSelfAttention's dropout(0.1) on softmax weights (PARITY #8).
+    ``dropout_seed``: int32 scalar; vary per (layer, step).
     """
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if not 0.0 <= dropout_rate < 1.0:
+        raise ValueError(f"dropout_rate {dropout_rate} not in [0, 1)")
     if block_q is None and block_k is None:
         block_q, block_k = _choose_blocks(q.shape[-2], q.shape[-1],
-                                          fwd_only=fwd_only)
+                                          fwd_only=fwd_only,
+                                          rate=dropout_rate)
     else:
         block_q = block_q or block_k
         block_k = block_k or block_q
@@ -634,30 +784,36 @@ def git_flash_attention(q, k, v, attention_mask, num_img: int,
             # as a clear error instead of an opaque lowering failure
             raise ValueError(f"git_flash blocks must be multiples of "
                              f"128 on TPU, got ({block_q}, {block_k})")
-    return _git_flash_core(q, k, v, attention_mask, num_img,
-                           block_q, block_k)
+    if dropout_seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+    return _git_flash_core(q, k, v, attention_mask, seed, num_img,
+                           block_q, block_k, float(dropout_rate))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _git_flash_core(q, k, v, attention_mask, num_img: int,
-                    block_q: int, block_k: int):
-    out, _ = _forward(q, k, v, attention_mask, num_img, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _git_flash_core(q, k, v, attention_mask, seed, num_img: int,
+                    block_q: int, block_k: int, rate: float):
+    out, _ = _forward(q, k, v, attention_mask, seed, num_img,
+                      block_q, block_k, rate)
     return out
 
 
-def _fwd(q, k, v, attention_mask, num_img, block_q, block_k):
-    out, res = _forward(q, k, v, attention_mask, num_img, block_q, block_k)
+def _fwd(q, k, v, attention_mask, seed, num_img, block_q, block_k, rate):
+    out, res = _forward(q, k, v, attention_mask, seed, num_img,
+                        block_q, block_k, rate)
     return out, (res, q.shape)
 
 
-def _bwd(num_img, block_q, block_k, packed, g):
+def _bwd(num_img, block_q, block_k, rate, packed, g):
     res, (b, h, s, dh) = packed
     if s >= PALLAS_BWD_MIN_SEQ:
         dq, dk, dv = _backward(res, g, num_img, block_q, block_k,
-                               b, h, s, dh)
-        return dq, dk, dv, None
+                               b, h, s, dh, rate)
+        return dq, dk, dv, None, None
     # short-seq: XLA dense recompute is faster (see PALLAS_BWD_MIN_SEQ)
-    qp, kp, vp, colmask, _outp, _lse, s_pad = res
+    qp, kp, vp, colmask, _outp, _lse, s_pad, seed = res
     unpad = lambda x: x.reshape(b, h, s_pad, dh)[:, :, :s, :]
     q, k, v = unpad(qp), unpad(kp), unpad(vp)
     attention_mask = colmask[:, 0, num_img:s].astype(jnp.int32)
@@ -669,13 +825,15 @@ def _bwd(num_img, block_q, block_k, packed, g):
         s_ = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale + bias
         p = jax.nn.softmax(s_, axis=-1)
+        if rate > 0.0:
+            p = p * hash_dropout_factor(b, h, s, seed[0], rate)
         return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v,
                           preferred_element_type=jnp.float32
                           ).astype(q.dtype)
 
     _, vjp = jax.vjp(f, q, k, v)
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _git_flash_core.defvjp(_fwd, _bwd)

@@ -269,3 +269,131 @@ def test_model_parity_flash_vs_dense():
     np.testing.assert_allclose(np.asarray(out_f["logits_text"]),
                                np.asarray(out_d["logits_text"]),
                                atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# attention-probability dropout (PARITY #8, retired r4): the kernels
+# regenerate the coordinate-hash mask (_hash_keep) from absolute
+# (b*h, row, col) coordinates; the XLA implementation
+# (dense_attention_with_hash_dropout / hash_dropout_factor) shares only
+# the hash function — matching outputs prove in-kernel generation AND
+# fwd/bwd mask reproduction.
+
+
+def _drop_inputs(num_img=128, l=24, b=1, h=2, d=64, seed=11):
+    s = num_img + l
+    rng = np.random.default_rng(seed)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+               for _ in range(3))
+    mask = np.ones((b, l), np.int32)
+    mask[0, -5:] = 0
+    return q, k, v, jnp.asarray(mask), num_img
+
+
+def test_dropout_keep_rate_and_scale():
+    rate = 0.3
+    f = np.asarray(gf.hash_dropout_factor(2, 2, 256, jnp.int32(123), rate))
+    drop_frac = (f == 0).mean()
+    assert abs(drop_frac - rate) < 0.01
+    # kept entries carry exactly 1/(1-rate)
+    np.testing.assert_allclose(f[f > 0], 1.0 / (1.0 - rate), rtol=1e-6)
+    # expectation of the factor is 1 (unbiased)
+    assert abs(f.mean() - 1.0) < 0.02
+    # per-(b, h) slices decorrelate
+    assert not np.array_equal(f[0, 0], f[0, 1])
+    assert not np.array_equal(f[0, 0], f[1, 0])
+
+
+def test_dropout_seed_determinism_and_variation():
+    q, k, v, mask, num_img = _drop_inputs()
+    run = lambda sd: np.asarray(gf.git_flash_attention(
+        q, k, v, mask, num_img, block_q=128, block_k=128,
+        dropout_rate=0.2, dropout_seed=jnp.int32(sd)))
+    a1, a2, b1 = run(7), run(7), run(8)
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.array_equal(a1, b1)
+    # rate 0 with a seed == the plain kernel bitwise
+    plain = np.asarray(gf.git_flash_attention(q, k, v, mask, num_img,
+                                              block_q=128, block_k=128))
+    zero = np.asarray(gf.git_flash_attention(
+        q, k, v, mask, num_img, block_q=128, block_k=128,
+        dropout_rate=0.0, dropout_seed=jnp.int32(7)))
+    np.testing.assert_array_equal(plain, zero)
+
+
+def test_dropout_fwd_matches_hash_oracle():
+    q, k, v, mask, num_img = _drop_inputs()
+    rate, seed = 0.25, jnp.int32(42)
+    out = gf.git_flash_attention(q, k, v, mask, num_img,
+                                 block_q=128, block_k=128,
+                                 dropout_rate=rate, dropout_seed=seed)
+    ref = gf.dense_attention_with_hash_dropout(
+        q, k, v, git_attention_bias(num_img, mask), seed, rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_dropout_grads_match_hash_oracle(fused, monkeypatch):
+    """Backward mask reproduction: the (differently-iterated) fused AND
+    split kernels regenerate the forward's exact mask from coordinates.
+    num_img=256 with 128-blocks exercises the mask-free-prefix programs
+    (dropout applies there too)."""
+    monkeypatch.setattr(gf, "FUSED_BWD", fused)
+    q, k, v, mask, num_img = _drop_inputs(num_img=256, l=32)
+    rate, seed = 0.25, jnp.int32(5)
+    bias = git_attention_bias(num_img, mask)
+
+    def loss_flash(q, k, v):
+        o = gf.git_flash_attention(q, k, v, mask, num_img, 128, 128,
+                                   dropout_rate=rate, dropout_seed=seed)
+        return (o.astype(jnp.float32) ** 2).mean()
+
+    def loss_ref(q, k, v):
+        o = gf.dense_attention_with_hash_dropout(q, k, v, bias, seed, rate)
+        return (o.astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=2e-4)
+
+
+def test_model_train_step_with_attention_dropout():
+    """GITForCausalLM with attention_dropout > 0: training forward takes
+    the hash-dropout path (dense on CPU), is rng-deterministic, differs
+    from the deterministic forward, and grads flow."""
+    from sasvqa_tpu.models.clip import CLIPVisionConfig
+    from sasvqa_tpu.models.git import GITConfig, GITForCausalLM
+
+    vc = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                          num_layers=1, num_heads=4, image_size=64,
+                          patch_size=8)
+    cfg = GITConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                    num_heads=4, intermediate_size=64,
+                    max_position_embeddings=64, dropout=0.0,
+                    attention_dropout=0.3, vision=vc)
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(1, 63, size=(2, 10)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    px = jnp.asarray(rng.normal(size=(2, 1, 64, 64, 3)), jnp.float32)
+    labels = jnp.where(mask == 1, ids, -100)
+
+    model = GITForCausalLM(cfg, flash=False)
+    params = jax.jit(model.init)(jax.random.key(0), ids, mask, px)
+
+    apply_train = jax.jit(lambda p, r: model.apply(
+        p, ids, mask, px, labels=labels, deterministic=False,
+        rngs={"dropout": r})["loss"])
+    l1 = float(apply_train(params, jax.random.key(1)))
+    l1b = float(apply_train(params, jax.random.key(1)))
+    l2 = float(apply_train(params, jax.random.key(2)))
+    det = float(jax.jit(lambda p: model.apply(
+        p, ids, mask, px, labels=labels)["loss"])(params))
+    assert l1 == l1b          # same rng -> same mask -> same loss
+    assert l1 != l2           # different rng -> different mask
+    assert l1 != det          # dropout actually active
+    g = jax.grad(lambda p: apply_train(p, jax.random.key(1)))(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))

@@ -189,7 +189,7 @@ def _fx_model(vocab_size):
     cfg = GITConfig(
         vocab_size=vocab_size, hidden_size=H, num_layers=LAYERS,
         num_heads=HEADS, intermediate_size=FF, max_position_embeddings=64,
-        sep_token_id=3, dropout=0.0,
+        sep_token_id=3, dropout=0.0, attention_dropout=0.0,
         vision=FxV(hidden_size=H, intermediate_size=FF, num_layers=LAYERS,
                    num_heads=HEADS, image_size=IMG, patch_size=PATCH))
     return GITForCausalLM(cfg)   # dtype f32 to match the torch side
@@ -246,6 +246,302 @@ def test_reference_loop_trajectory_parity(setup):
     for a, b in zip(flat_ref, flat_our):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# classifier family (VERDICT r3 item 3): the same composed-trajectory
+# proof for the CLIP classification path — reference VideoQACollator ->
+# CLIPModelforFinetune(CLIPForSeqClassification) -> CE(ignore -100) ->
+# torch AdamW(lr) + MultiStepLR — vs the rebuild's classifier scan step
+# from a FULL converted state dict (towers + fusion head + classifier).
+
+
+NUM_LABELS = 8
+
+
+@pytest.fixture(scope="module")
+def clip_setup(tmp_path_factory):
+    import torch
+    from sasvqa_tpu.data.annotations import (build_common_answer_dict,
+                                             group_datalist, load_datalist)
+    from sasvqa_tpu.data.frame_store import load_vidmapping
+    from sasvqa_tpu.data.synthetic import make_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("refparity_clip")
+    paths = make_synthetic_dataset(str(root / "data"), num_videos=4,
+                                   stored_frames=STORED_K, img_hw=IMG,
+                                   questions_per_video=2)
+    ref_data, ref_modeling = _import_reference()
+    import src.modeling.clip_model as ref_clip_model
+    hf_tok, vocab_size = _hf_tokenizer(root)
+
+    datalist = load_datalist("msvd_qa", paths["train"])
+    grouped = group_datalist(datalist, max_n_example_per_group=1,
+                             is_train=True)
+    ans2label = build_common_answer_dict((paths["train"],), 1000)
+    assert len(ans2label) <= NUM_LABELS
+    vid2id = load_vidmapping(paths["vidmapping"])
+
+    ds = ref_data.VideoQADataset(
+        task_type="msvd_qa", datalist=grouped, tokenizer=hf_tok,
+        img_hdf5_dir=paths["h5"], ans2label=ans2label, vid2id=vid2id,
+        return_label=True, is_train=True)
+    collator = ref_data.VideoQACollator(
+        tokenizer=hf_tok, max_length=20, task_type="msvd_qa",
+        nframe=STRIDE, samp_policy="uniform", img_size=IMG)
+    base = [collator.collate_batch([ds[i] for i in idx])
+            for idx in (range(0, 2), range(2, 4))]
+    batches = [base[i % len(base)] for i in range(N_MICROS)]
+
+    # tiny HF towers from config objects — CLIPBaseModel hub loads
+    # (modeling.py:286-287) patched to return them
+    from transformers import (CLIPTextConfig, CLIPTextModel,
+                              CLIPVisionConfig, CLIPVisionModelWithProjection)
+    tcfg = CLIPTextConfig(
+        vocab_size=vocab_size, hidden_size=H, intermediate_size=FF,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        max_position_embeddings=32, projection_dim=H, attention_dropout=0.0)
+    vcfg = CLIPVisionConfig(
+        hidden_size=H, intermediate_size=FF, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, image_size=IMG, patch_size=PATCH,
+        projection_dim=H, attention_dropout=0.0)
+    torch.manual_seed(0)
+    txt = CLIPTextModel(tcfg)
+    vis = CLIPVisionModelWithProjection(vcfg)
+
+    class _FakeHub:
+        def __init__(self, model):
+            self.model = model
+
+        def from_pretrained(self, *a, **k):
+            return self.model
+
+    cfg = types.SimpleNamespace(
+        pretrained_model="tiny-clip", num_labels=NUM_LABELS,
+        loss_type="ce", hidden_dropout_prob=0.0, txt_output_size=H)
+    saved = (ref_modeling.CLIPTextModel,
+             ref_modeling.CLIPVisionModelWithProjection)
+    ref_modeling.CLIPTextModel = _FakeHub(txt)
+    ref_modeling.CLIPVisionModelWithProjection = _FakeHub(vis)
+    try:
+        torch.manual_seed(1)   # fusion head + classifier init
+        model = ref_clip_model.CLIPModelforFinetune(cfg)
+    finally:
+        (ref_modeling.CLIPTextModel,
+         ref_modeling.CLIPVisionModelWithProjection) = saved
+    # cross-framework rng streams can't match — determinism comes from
+    # zeroing every dropout (the head hardcodes p=0.1, modeling.py:368).
+    # nn.MultiheadAttention keeps its attention dropout as a FLOAT
+    # attribute (not an nn.Dropout module), so zero it separately.
+    for m in model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+        elif isinstance(m, torch.nn.MultiheadAttention):
+            m.dropout = 0.0
+    model.train()
+    return model, batches, vocab_size
+
+
+def _run_reference_clip(model, batches):
+    """The live classifier loop's exact composition
+    (run_video_qa.py:416-422, 474-511 + the MultiStepLR wiring): plain
+    AdamW(lr) over all params, grads SUMMED across the window, scheduler
+    stepped per global step with global-step milestones (the rebuild's
+    documented divergence from the step-inside-valid-block quirk,
+    train/schedules.py multi_step)."""
+    import copy
+    import torch
+    from torch.optim.lr_scheduler import MultiStepLR
+    model = copy.deepcopy(model)
+    opt = torch.optim.AdamW([p for p in model.parameters()
+                             if p.requires_grad], lr=LR)
+    sched = MultiStepLR(opt, milestones=[2], gamma=0.5)
+    losses = []
+    opt.zero_grad()
+    for step, batch in enumerate(batches):
+        out = model({k: v for k, v in batch.items()
+                     if k != "question_ids"})
+        loss = out["loss"].mean()
+        loss.backward()
+        losses.append(float(loss.item()))
+        if (step + 1) % K_ACCUM == 0:
+            opt.step()
+            sched.step()
+            opt.zero_grad()
+    return losses, model.VLModel.state_dict()
+
+
+def _to_ours_clip(batch):
+    """reference classifier batch -> rebuild batch (B*T NCHW -> B,T NHWC)."""
+    vis = batch["visual_inputs"].float().numpy()    # (B*T, 3, H, W)
+    b = len(batch["video_start_end"]) - 1
+    t = vis.shape[0] // b
+    return {
+        "text_input_ids": batch["text_input_ids"].numpy().astype(np.int32),
+        "text_attention_mask":
+            batch["text_attention_mask"].numpy().astype(np.int32),
+        "labels": batch["labels"].numpy().astype(np.int32),
+        "visual_inputs": vis.reshape(b, t, 3, IMG, IMG)
+            .transpose(0, 1, 3, 4, 2).astype(np.float32),
+    }
+
+
+def _fx_clip_model(vocab_size):
+    from sasvqa_tpu.models.clip import (CLIPTextConfig as FxT,
+                                        CLIPVisionConfig as FxV)
+    from sasvqa_tpu.models.video_qa import (ClassifierHeadConfig,
+                                            CLIPVideoQA)
+    tc = FxT(vocab_size=vocab_size, hidden_size=H, intermediate_size=FF,
+             num_layers=LAYERS, num_heads=HEADS,
+             max_position_embeddings=32)
+    vc = FxV(hidden_size=H, intermediate_size=FF, num_layers=LAYERS,
+             num_heads=HEADS, image_size=IMG, patch_size=PATCH,
+             projection_dim=H)
+    head = ClassifierHeadConfig(num_labels=NUM_LABELS, loss_type="ce",
+                                hidden_dropout_prob=0.0)
+    return CLIPVideoQA(tc, vc, head)
+
+
+def _run_rebuild_clip(state_dict, batches, vocab_size):
+    from sasvqa_tpu.core.config import ConfigDict
+    from sasvqa_tpu.data.pipeline import stack_microbatches
+    from sasvqa_tpu.models.convert import (convert_clip_classifier,
+                                           merge_pretrained)
+    from sasvqa_tpu.train import steps as ts
+
+    fx = _fx_clip_model(vocab_size)
+    first = _to_ours_clip(batches[0])
+    init = fx.init(jax.random.key(0), first["text_input_ids"],
+                   first["text_attention_mask"], first["visual_inputs"])
+    converted = convert_clip_classifier(state_dict, LAYERS, LAYERS)
+    params, report = merge_pretrained(init["params"], converted)
+    assert not report["mismatched"], report["mismatched"]
+    # everything the torch model trains must have been converted (only
+    # the unused mc_head may stay at init)
+    assert all(p.startswith("/mc_head") for p in report["missing_in_ckpt"]
+               ), report["missing_in_ckpt"]
+    params = {"params": params}
+
+    # the live classifier composition: AdamW(lr) torch defaults (betas
+    # (0.9, 0.999), eps 1e-8, uniform wd 0.01 -> params=None skips decay
+    # masking), MultiStepLR milestone at global step 2, no clipping,
+    # grads SUMMED over the window
+    cfg = ConfigDict(optim="adamw", learning_rate=LR, decay="multi_step",
+                     step_decay_epochs=[1], num_train_epochs=2, gamma=0.5,
+                     weight_decay=0.01, grad_norm=-1,
+                     gradient_accumulation_steps=K_ACCUM, scan_accum=1,
+                     accum_grad_mean=0, betas=[0.9, 0.999])
+    tx = ts.make_optimizer(cfg, total_steps=N_MICROS // K_ACCUM,
+                           params=None)
+    state = ts.TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=tx.init(params), tx=tx,
+                          apply_fn=fx.apply)
+    step_fn = ts.make_scan_train_step(K_ACCUM, "classifier",
+                                      grad_mean=False)
+    losses = []
+    for sb in stack_microbatches(iter(map(_to_ours_clip, batches)),
+                                 K_ACCUM):
+        state, metrics = step_fn(state, sb, jax.random.key(0))
+        losses.append(float(metrics["loss"]))
+    return losses, state.params
+
+
+def test_reference_classifier_trajectory_parity(clip_setup):
+    model, batches, vocab_size = clip_setup
+    ref_losses, ref_final = _run_reference_clip(model, batches)
+    our_losses, our_final = _run_rebuild_clip(
+        {k: v.clone() for k, v in model.VLModel.state_dict().items()},
+        batches, vocab_size)
+
+    ref_means = [float(np.mean(ref_losses[i:i + K_ACCUM]))
+                 for i in range(0, N_MICROS, K_ACCUM)]
+    assert len(our_losses) == len(ref_means) == N_MICROS // K_ACCUM
+    np.testing.assert_allclose(our_losses, ref_means, rtol=2e-4,
+                               atol=2e-5)
+
+    # final params agree after 4 optimizer steps (milestone halved the
+    # LR for steps 3-4 on both sides)
+    from flax.traverse_util import flatten_dict
+    from sasvqa_tpu.models.convert import convert_clip_classifier
+
+    def jax_flat(tree):
+        return {"/".join(k): np.asarray(v)
+                for k, v in flatten_dict(tree).items()}
+
+    ref_fx = convert_clip_classifier(ref_final, LAYERS, LAYERS)
+    flat_ref = jax_flat(ref_fx)
+    flat_our = jax_flat(our_final["params"])
+    assert set(flat_ref) <= set(flat_our)
+    for k in flat_ref:
+        ours, ref = flat_our[k], flat_ref[k]
+        # every K-projection bias is a GAUGE direction: it adds the same
+        # constant to every score in a softmax row, so the model output
+        # is exactly invariant to it and its true gradient is zero.
+        # Both frameworks integrate pure fp round-off noise through
+        # Adam (update ~ lr * noise/sqrt(noise^2 + eps)) and drift
+        # independently — skip K biases (the K third of fused qkv).
+        if k.endswith("k_proj/bias"):
+            continue
+        if k.endswith("self_attn/qkv/bias"):
+            d = len(ref) // 3
+            ours = np.concatenate([ours[:d], ours[2 * d:]])
+            ref = np.concatenate([ref[:d], ref[2 * d:]])
+        np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=2e-5,
+                                   err_msg=k)
+
+
+def test_reference_classifier_collator_parity(clip_setup):
+    """Our ClassifierCollator reproduces the reference VideoQACollator's
+    arrays on the same items (valid region; ours pads to a fixed
+    bucket, theirs to the batch longest)."""
+    model, batches, vocab_size = clip_setup
+    ref_batch = batches[0]
+    ref_ids = ref_batch["text_input_ids"].numpy()
+    Lr = ref_ids.shape[1]
+
+    import tempfile
+
+    import sasvqa_tpu.data.dataset as dd
+    from sasvqa_tpu.data.annotations import (build_common_answer_dict,
+                                             group_datalist, load_datalist)
+    from sasvqa_tpu.data.frame_store import (FrameStoreReader,
+                                             load_vidmapping)
+    from sasvqa_tpu.data.synthetic import make_synthetic_dataset
+    from sasvqa_tpu.data.tokenization import make_test_wordpiece
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = make_synthetic_dataset(td + "/data", num_videos=4,
+                                       stored_frames=STORED_K, img_hw=IMG,
+                                       questions_per_video=2)
+        datalist = load_datalist("msvd_qa", paths["train"])
+        grouped = group_datalist(datalist, max_n_example_per_group=1,
+                                 is_train=True)
+        ans2label = build_common_answer_dict((paths["train"],), 1000)
+        ds = dd.VideoQADataset("msvd_qa", grouped,
+                               FrameStoreReader(paths["h5"]),
+                               load_vidmapping(paths["vidmapping"]),
+                               ans2label, return_label=True, is_train=True)
+        col = dd.ClassifierCollator(make_test_wordpiece(), max_txt_len=20,
+                                    task_type="msvd_qa", nframe=STRIDE,
+                                    samp_policy="uniform")
+        ours = col([ds.get_group(0), ds.get_group(1)],
+                   rng=np.random.default_rng(0))
+
+    assert ours["text_input_ids"].shape[1] >= Lr
+    np.testing.assert_array_equal(ours["text_input_ids"][:, :Lr], ref_ids)
+    np.testing.assert_array_equal(
+        ours["text_attention_mask"][:, :Lr],
+        ref_batch["text_attention_mask"].numpy())
+    assert (ours["text_attention_mask"][:, Lr:] == 0).all()
+    np.testing.assert_array_equal(ours["labels"],
+                                  ref_batch["labels"].numpy())
+    ref_vis = ref_batch["visual_inputs"].float().numpy()
+    b = len(ref_batch["video_start_end"]) - 1
+    t = ref_vis.shape[0] // b
+    np.testing.assert_allclose(
+        ours["visual_inputs"],
+        ref_vis.reshape(b, t, 3, IMG, IMG).transpose(0, 1, 3, 4, 2),
+        rtol=1e-6, atol=1e-6)
 
 
 def test_reference_collator_vs_rebuild_collator(setup):
