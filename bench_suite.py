@@ -292,6 +292,81 @@ def _measure_mdf(name="mdf_stageA", n_frames=256, k=16, w=8, steps=6):
     }), flush=True)
 
 
+def _measure_host(name="host_margin", n_batches=40):
+    """Host-side input margin per config class (VERDICT r3 #8): serial
+    collation rate (synthetic in-memory groups through the REAL
+    collators, bf16 pixel staging) vs the measured single-chip device
+    demand (BASELINE.md table).  margin < ~1.5 on a pod host means the
+    input pipeline needs CollatorPool workers (or more cores) to keep
+    that config's chips fed.
+
+    Synthetic caveats: groups are in-memory (no h5 read — add disk IO on
+    real stores) and text uses the WordPiece test vocab (CLIP's BPE is
+    slightly costlier on long questions).  Both are small next to the
+    frame gather/stack/cast that dominates collation.
+    """
+    from sasvqa_tpu.data.dataset import ClassifierCollator, GITCollator
+    from sasvqa_tpu.data.tokenization import make_test_wordpiece
+
+    tok = make_test_wordpiece(["what", "is", "the", "person", "doing",
+                               "in", "this", "video", "clip", "answer"])
+    rng = np.random.default_rng(0)
+
+    def mk_items(b, k_stored, with_inds=False):
+        items = []
+        for i in range(b):
+            ex = {"q_str": "what is the person doing in this video",
+                  "question_id": i, "label": 3, "str_label": "answer"}
+            if with_inds:
+                ex["sampled_inds"] = list(range(k_stored))
+            items.append({
+                "vid": rng.normal(size=(k_stored, 224, 224, 3))
+                          .astype(np.float32),
+                "examples": [ex], "n_examples": 1,
+                "sampled_inds": ex.get("sampled_inds")})
+        return items
+
+    # (collator, B, K stored, needs_inds, measured device qa/s) per
+    # BASELINE.md row.  K/policy chosen so the collated frame count
+    # equals the device row's T (uniform strides by nframe — nframe=1
+    # keeps all K stored frames, the reference img_len semantics).
+    rows = [
+        ("git6", GITCollator(tok, max_seq_len=32, nframe=1,
+                             samp_policy="uniform", pixel_dtype="bf16"),
+         6, 6, False, 94.9),
+        ("git8", GITCollator(tok, max_seq_len=32, nframe=1,
+                             samp_policy="uniform", pixel_dtype="bf16"),
+         16, 8, False, 61.9),
+        ("mif2", GITCollator(tok, max_seq_len=32, nframe=2,
+                             samp_policy="question-caption",
+                             pixel_dtype="bf16"), 16, 16, True, 282.9),
+        ("clip1", ClassifierCollator(tok, max_txt_len=32, nframe=4,
+                                     samp_policy="single",
+                                     pixel_dtype="bf16"), 8, 32, False,
+         539.5),
+        ("vitl16", GITCollator(tok, max_seq_len=32, nframe=1,
+                               samp_policy="uniform", pixel_dtype="bf16"),
+         8, 16, False, 6.76),
+    ]
+    crng = np.random.default_rng(1)
+    for cfg_name, collator, b, k_stored, with_inds, device_qa in rows:
+        items = mk_items(b, k_stored, with_inds)
+        collator(items, rng=crng)  # warm (lru caches, allocator)
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            batch = collator(items, rng=crng)
+        dt = (time.perf_counter() - t0) / n_batches
+        host_qa = b / dt
+        print(json.dumps({
+            "config": f"{name}_{cfg_name}", "batch": b,
+            "ms_per_collate": round(dt * 1000, 1),
+            "host_qa_pairs_per_sec_serial": round(host_qa, 1),
+            "device_demand_qa_pairs_per_sec": device_qa,
+            "host_margin_x": round(host_qa / device_qa, 2),
+        }), flush=True)
+        del batch
+
+
 ROWS = {
     "git6": lambda: _measure("git6_msvd_base", _git_model(), 6, 6, 32),
     "git8": lambda: _measure("git8_flagship", _git_model(), 16, 8, 32),
@@ -307,6 +382,7 @@ ROWS = {
                               32, moment_dtype="bf16"),
     "clip1m": lambda: _measure("clip1_bf16_moments", _clip_model(), 8, 1,
                                32, classifier=True, moment_dtype="bf16"),
+    "host": _measure_host,
     "accum": _measure_accum,
     "eval": _measure_eval,
     "mdf": _measure_mdf,

@@ -113,10 +113,19 @@ class VideoQADataset:
 
 
 def _resample_frames(items: List[Dict[str, Any]], policy: str, nframe: int,
-                     rng: Optional[np.random.Generator]) -> np.ndarray:
-    """(B_groups stored frames) -> (B_groups, T_out, H, W, C)."""
-    frames = np.stack([d["vid"] for d in items])      # (B, K, H, W, C)
-    b, k = frames.shape[:2]
+                     rng: Optional[np.random.Generator],
+                     out_dtype=np.float32) -> np.ndarray:
+    """(B_groups stored frames) -> (B_groups, T_out, H, W, C).
+
+    Host-pipeline hot path: selects indices FIRST, then copies only the
+    selected frames once, casting into the staging dtype as they land in
+    a preallocated output.  (The obvious stack-everything-then-gather-
+    then-cast form copies all K stored frames plus two full extra passes
+    — measured 2-8x slower per collate on the small-nframe configs,
+    which is the difference between feeding a chip and starving it on a
+    pod host; bench_suite.py `host` row.)"""
+    b = len(items)
+    k = items[0]["vid"].shape[0]
     sampled_inds = None
     if policy == "question-caption":
         missing = [i for i, d in enumerate(items)
@@ -131,7 +140,12 @@ def _resample_frames(items: List[Dict[str, Any]], policy: str, nframe: int,
             [np.asarray(d["sampled_inds"]) for d in items])
     inds = policies.sample_indices(policy, k, nframe, rng=rng,
                                    sampled_inds=sampled_inds, batch_size=b)
-    return policies.gather_frames(frames, inds)
+    frame_shape = items[0]["vid"].shape[1:]
+    out = np.empty((b, inds.shape[1]) + frame_shape, dtype=out_dtype)
+    for i, d in enumerate(items):
+        # fancy-index gather + dtype cast fused into the assignment
+        out[i] = d["vid"][inds[i]]
+    return out
 
 
 def _flatten_examples(items: List[Dict[str, Any]]):
@@ -173,7 +187,8 @@ class ClassifierCollator:
     def __call__(self, items: List[Dict[str, Any]],
                  rng: Optional[np.random.Generator] = None,
                  ) -> Dict[str, Any]:
-        visual = _resample_frames(items, self.samp_policy, self.nframe, rng)
+        visual = _resample_frames(items, self.samp_policy, self.nframe,
+                                  rng, out_dtype=self.pixel_dtype)
         examples, n_examples = _flatten_examples(items)
         _check_uniform_groups(n_examples)
 
@@ -189,7 +204,7 @@ class ClassifierCollator:
             labels = np.asarray([int(d["label"]) for d in examples],
                                 dtype=np.int32)
         return dict(
-            visual_inputs=visual.astype(self.pixel_dtype),
+            visual_inputs=visual,
             text_input_ids=enc["input_ids"],
             text_attention_mask=enc["attention_mask"],
             labels=labels,
@@ -235,7 +250,8 @@ class GITCollator:
     def __call__(self, items: List[Dict[str, Any]],
                  rng: Optional[np.random.Generator] = None,
                  ) -> Dict[str, Any]:
-        visual = _resample_frames(items, self.samp_policy, self.nframe, rng)
+        visual = _resample_frames(items, self.samp_policy, self.nframe,
+                                  rng, out_dtype=self.pixel_dtype)
         examples, n_examples = _flatten_examples(items)
         _check_uniform_groups(n_examples)
         tok = self.tokenizer
@@ -279,7 +295,7 @@ class GITCollator:
                     lab[len(seq):] = IGNORE_INDEX
                 labels[i] = lab
             return dict(
-                visual_inputs=visual.astype(self.pixel_dtype),
+                visual_inputs=visual,
                 text_input_ids=ids, text_attention_mask=mask,
                 labels=labels,
                 question_ids=[d["question_id"] for d in examples],
@@ -296,7 +312,7 @@ class GITCollator:
             ids[i, :len(seq)] = seq
             prompt_len[i] = len(seq)
         return dict(
-            visual_inputs=visual.astype(self.pixel_dtype),
+            visual_inputs=visual,
             text_input_ids=ids, prompt_len=prompt_len,
             labels=None,
             question_ids=[d["question_id"] for d in examples],

@@ -132,6 +132,11 @@ class CLIPVisionEncoder(nn.Module):
     # rematerialise each block in backward (ViT-L / many-frame configs
     # trade ~30% FLOPs for O(layers) activation memory)
     remat: bool = False
+    # optional jax.checkpoint_policies name (e.g. "dots_saveable",
+    # "dots_with_no_batch_dims_saveable"): lets remat SAVE selected
+    # intermediates instead of recomputing the whole block — less
+    # recompute, more residual memory.  None = recompute everything.
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, pixels: jax.Array,
@@ -157,7 +162,12 @@ class CLIPVisionEncoder(nn.Module):
         x = x + pos
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="pre_layrnorm")(x)
-        block_cls = nn.remat(PreLNBlock) if self.remat else PreLNBlock
+        if self.remat:
+            policy = (getattr(jax.checkpoint_policies, self.remat_policy)
+                      if self.remat_policy else None)
+            block_cls = nn.remat(PreLNBlock, policy=policy)
+        else:
+            block_cls = PreLNBlock
         for i in range(cfg.num_layers):
             x = block_cls(cfg.num_heads, cfg.intermediate_size,
                           cfg.hidden_act, cfg.layer_norm_eps,

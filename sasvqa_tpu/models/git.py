@@ -140,6 +140,14 @@ class GitAttention(nn.Module):
         out = self.drop(self.out_dense(ctx), deterministic=deterministic)
         return self.out_ln(hidden + out)
 
+    def finish_from_ctx(self, hidden: jax.Array, ctx: jax.Array,
+                        deterministic: bool = True) -> jax.Array:
+        """Output projection + residual LN for a context computed by the
+        caller (decode path computes attention itself to keep the KV
+        cache split — see GITForCausalLM.decode_step)."""
+        out = self.drop(self.out_dense(ctx), deterministic=deterministic)
+        return self.out_ln(hidden + out)
+
     def __call__(self, hidden, bias=None, deterministic=True, use_flash=None):
         q, k, v = self.project(hidden)
         return self.finish(hidden, q, k, v, bias, deterministic, use_flash)
@@ -221,6 +229,7 @@ class GITForCausalLM(nn.Module):
     dtype: jnp.dtype = jnp.float32
     flash: Optional[bool] = None
     remat: bool = False  # remat the vision tower (many-frame configs)
+    remat_policy: Optional[str] = None  # see CLIPVisionEncoder.remat_policy
 
     def _use_git_flash(self, seq_len: int) -> bool:
         if self.flash is not None:
@@ -232,7 +241,8 @@ class GITForCausalLM(nn.Module):
         c = self.config
         self.image_encoder = CLIPVisionEncoder(
             c.vision, dtype=self.dtype, post_ln_all_tokens=True,
-            with_projection=False, remat=self.remat)
+            with_projection=False, remat=self.remat,
+            remat_policy=self.remat_policy)
         self.visual_projection = nn.Dense(c.hidden_size, dtype=self.dtype)
         self.visual_projection_ln = nn.LayerNorm(
             epsilon=c.vision.layer_norm_eps, dtype=self.dtype)
@@ -390,13 +400,31 @@ class GITForCausalLM(nn.Module):
             k_txt = k_txt * (1 - sel) + k_new * sel
             v_txt = v_txt * (1 - sel) + v_new * sel
             new_txt_kv.append((k_txt, v_txt))
+            # SPLIT-cache attention: score the image and text caches in
+            # place and concatenate only the (B, H, 1, M+maxlen) score
+            # vectors.  A concatenate([k_img, k_txt]) here materialises
+            # a copy of the whole image K/V cache (flagship: ~300 MB of
+            # writes per decode step across the 6 layers) on top of the
+            # unavoidable cache *reads* — the measured 1.86 vs 0.75
+            # ms/token floor gap was mostly that copy.  Same numerics as
+            # ops/attention._xla_attention: f32 scores/softmax, bf16
+            # probs @ v with f32 accumulation.
+            scale = q.shape[-1] ** -0.5
+            s_img = jnp.einsum("bhqd,bhkd->bhqk", q, k_img,
+                               preferred_element_type=jnp.float32) * scale
+            s_txt = jnp.einsum("bhqd,bhkd->bhqk", q, k_txt,
+                               preferred_element_type=jnp.float32) * scale
+            s_txt = s_txt + txt_bias.astype(jnp.float32)
             m = k_img.shape[2]
-            bias = jnp.concatenate(
-                [jnp.zeros((b, 1, 1, m), self.dtype),
-                 txt_bias.astype(self.dtype)], axis=-1)
-            k_all = jnp.concatenate([k_img, k_txt], axis=2)
-            v_all = jnp.concatenate([v_img, v_txt], axis=2)
-            h = lyr.attention.finish(h, q, k_all, v_all, bias)
+            probs = jax.nn.softmax(
+                jnp.concatenate([s_img, s_txt], axis=-1), axis=-1
+            ).astype(q.dtype)
+            ctx = (jnp.einsum("bhqk,bhkd->bhqd", probs[..., :m], v_img,
+                              preferred_element_type=jnp.float32)
+                   + jnp.einsum("bhqk,bhkd->bhqd", probs[..., m:], v_txt,
+                                preferred_element_type=jnp.float32)
+                   ).astype(q.dtype)
+            h = lyr.attention.finish_from_ctx(h, merge_heads(ctx))
             h = lyr.ffn(h)
         # f32 logits: greedy argmax over a 30k vocab at bf16 precision
         # can flip near-tied tokens (repo convention: logits are f32)

@@ -127,7 +127,13 @@ def build_model(cfg, dtype=jnp.float32):
                 gc, vision=dataclasses.replace(gc.vision,
                                                image_size=img_size))
         remat = bool(cfg.model.get("remat", cfg.get("remat", False)))
-        return family, GITForCausalLM(gc, dtype=dtype, remat=remat)
+        # optional jax.checkpoint_policies name (saves selected
+        # intermediates instead of full-block recompute; see
+        # CLIPVisionEncoder.remat_policy + BASELINE.md vitl16 sweep)
+        remat_policy = cfg.model.get("remat_policy",
+                                     cfg.get("remat_policy", None)) or None
+        return family, GITForCausalLM(gc, dtype=dtype, remat=remat,
+                                      remat_policy=remat_policy)
     raise ValueError(family)
 
 

@@ -375,18 +375,24 @@ def _dkv_kernel(seed_ref, colmask_ref, q_ref, k_ref, v_ref, do_ref,
                 s = _mask_block(s, i * bq, ki * bk, colmask_ref,
                                 num_img)
             p = jnp.exp(s - lse[:, None])              # (BQ, BK)
-            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+            # dV's matmul consumes P before dp materialises — same
+            # scoped-VMEM liveness ordering as _fused_bwd_kernel
             if rate > 0.0:
                 dm = _dropout_block(bh, i * bq, ki * bk, (bq, bk),
                                     seed_ref, rate)
-                pc = (p * dm).astype(do.dtype)         # dV uses dropped P
-                dp = dp * dm
+                dv_acc = dv_acc + jax.lax.dot_general(
+                    (p * dm).astype(do.dtype), do,     # dV uses dropped P
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (BK, Dh)
+                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32
+                                         ) * dm
             else:
-                pc = p.astype(do.dtype)
-            dv_acc = dv_acc + jax.lax.dot_general(
-                pc, do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (BK, Dh)
+                dv_acc = dv_acc + jax.lax.dot_general(
+                    p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (BK, Dh)
+                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
             ds = p * (dp - d_row[:, None])             # (BQ, BK)
             dk_acc = dk_acc + jax.lax.dot_general(
                 ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -461,18 +467,27 @@ def _fused_bwd_kernel(seed_ref, colmask_ref, q_ref, k_ref, v_ref, do_ref,
                 s = _mask_block(s, i * bq, ki * bk, colmask_ref,
                                 num_img)
             p = jnp.exp(s - lse[:, None])              # (BQ, BK)
-            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+            # Liveness order matters for scoped VMEM: dV's matmul must
+            # consume its P operand BEFORE dp materialises (p/dp/pd all
+            # live together pushed the (896,896) pair 360K over the
+            # 16M scoped limit at s_pad 1792 — a frontier regression vs
+            # r3 even at rate=0).
             if rate > 0.0:
                 dm = _dropout_block(bh, i * bq, ki * bk, (bq, bk),
                                     seed_ref, rate)
-                pd = (p * dm).astype(do.dtype)         # dV uses dropped P
-                dp = dp * dm
+                dv_acc = dv_acc + jax.lax.dot_general(
+                    (p * dm).astype(do.dtype), do,     # dV uses dropped P
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (BK, Dh)
+                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32
+                                         ) * dm
             else:
-                pd = p.astype(do.dtype)
-            dv_acc = dv_acc + jax.lax.dot_general(
-                pd, do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (BK, Dh)
+                dv_acc = dv_acc + jax.lax.dot_general(
+                    p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (BK, Dh)
+                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
             ds = (p * (dp - d_row[:, None]) * scale).astype(q.dtype)
             dk_acc = dk_acc + jax.lax.dot_general(
                 ds, q, (((0,), (0,)), ((), ())),
@@ -611,23 +626,38 @@ _FUSED_MAX_SPAD_DEFAULT = 2944
 
 
 def _fused_vmem_estimate(s_pad, dh, bq, bk, rate=0.0):
-    # dropout adds (bq, bk) int32 row/col iotas + the f32 factor tile
-    per_elem = 14 if rate == 0.0 else 26
-    return bq * bk * per_elem + s_pad * dh * 16
+    # rate-independent: the dropout tile temporaries' VMEM delta is
+    # super-linear in block size (no single per-elem coefficient
+    # separates the probed pass/fail points) and is captured by the
+    # per-pair _FUSED_MAX_SPAD_DROPOUT table instead; this linear model
+    # only guards dh values the tables were not probed at (all tables
+    # are dh=64 compile probes)
+    return bq * bk * 14 + s_pad * dh * 16
 
 
-# With dropout the caps above (probed WITHOUT the extra tile
-# temporaries) don't hold; until dropout-specific compile probes run,
-# a blanket conservative cap keeps the flagship shape (s_pad 1792)
-# fused while larger rows fall back to the split kernels.
-_FUSED_MAX_SPAD_DROPOUT = 2688
+# Dropout shrinks each pair's frontier (the regenerated keep-factor
+# tile adds live f32/int32 temporaries to the inner loop).  Probed r4
+# on the v5e at rate=0.1, realistic b*h grids, with the final operand
+# ordering (dV matmul consumes P before dp materialises — with the
+# naive ordering even the flagship 896x896/1792 shape OOMs):
+#   (896, 896): pass 1792, FAIL 2688                          -> 1792
+#   (768, 768): pass 2304, FAIL 3072                          -> 2304
+#   (640, 640): pass 3200, FAIL 4480                          -> 3200
+#   (512,1024): pass 2048, FAIL 3072                          -> 2048
+#   (512, 512): pass 4096, FAIL 4608 (vitl16's 4608 ->split)  -> 4096
+_FUSED_MAX_SPAD_DROPOUT = {(512, 1024): 2048, (896, 896): 1792,
+                           (768, 768): 2304, (640, 640): 3200,
+                           (512, 512): 4096}
+_FUSED_MAX_SPAD_DROPOUT_DEFAULT = 1792
 
 
 def _fused_eligible(s_pad: int, dh: int, bq: int, bk: int,
                     rate: float = 0.0) -> bool:
-    cap = _FUSED_MAX_SPAD.get((bq, bk), _FUSED_MAX_SPAD_DEFAULT)
     if rate > 0.0:
-        cap = min(cap, _FUSED_MAX_SPAD_DROPOUT)
+        cap = _FUSED_MAX_SPAD_DROPOUT.get(
+            (bq, bk), _FUSED_MAX_SPAD_DROPOUT_DEFAULT)
+    else:
+        cap = _FUSED_MAX_SPAD.get((bq, bk), _FUSED_MAX_SPAD_DEFAULT)
     return (FUSED_BWD and s_pad <= cap and
             _fused_vmem_estimate(s_pad, dh, bq, bk, rate)
             <= _FUSED_VMEM_BUDGET)
