@@ -166,24 +166,33 @@ def _measure_eval(name="git8_eval", batch=16, frames=8, txt_len=16,
 
 
 def _measure_accum(name="git6_accum8", batch=6, frames=6, txt_len=32,
-                   k=8, calls=4):
+                   k=8, calls=4, family="git"):
     """Gradient-accumulation formulations head-to-head at msvd_base
     shape (reference configs accumulate 8-128 micros,
     configs/msvd_qa_base2.json): ms per MICRO step for (a) scan_accum
     (default: lax.scan over K stacked micros, ONE optimizer update) and
     (b) optax.MultiSteps (full inner update every micro, K-1 of K
-    discarded).  Both run the real train/steps builders."""
+    discarded).  Both run the real train/steps builders.
+
+    family="classifier" runs the CLIP head instead (msvd_qa_base3
+    accumulates 4 micros of B=8; the r4 clip1 profile showed its plain
+    step is ~40% AdamW moment traffic, so ONE update per 4 micros is a
+    class win — bench row clip1a)."""
     from sasvqa_tpu.core.config import ConfigDict
     from sasvqa_tpu.train import steps as train_steps
 
-    model = _git_model()
+    model = _git_model() if family == "git" else _clip_model()
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(1, 1000, size=(batch, txt_len)),
                       jnp.int32)
     mask = jnp.ones_like(ids)
     pixels = jnp.asarray(
         rng.normal(size=(batch, frames, 224, 224, 3)), jnp.float32)
-    labels = jnp.where(mask == 1, ids, -100)
+    if family == "git":
+        labels = jnp.where(mask == 1, ids, -100)
+    else:
+        labels = jnp.asarray(rng.integers(0, 1000, size=(batch,)),
+                             jnp.int32)
     key = jax.random.key(1)
 
     def mk_state(scan):
@@ -199,7 +208,7 @@ def _measure_accum(name="git6_accum8", batch=6, frames=6, txt_len=32,
 
     # (a) scan accumulation: one call = K micros
     state = mk_state(scan=1)
-    step = train_steps.make_scan_train_step(k, "git")
+    step = train_steps.make_scan_train_step(k, family)
     sbatch = {"text_input_ids": jnp.stack([ids] * k),
               "text_attention_mask": jnp.stack([mask] * k),
               "visual_inputs": jnp.stack([pixels] * k),
@@ -214,7 +223,8 @@ def _measure_accum(name="git6_accum8", batch=6, frames=6, txt_len=32,
 
     # (b) MultiSteps: one call = one micro
     state = mk_state(scan=0)
-    step = train_steps.make_git_train_step()
+    step = (train_steps.make_git_train_step() if family == "git"
+            else train_steps.make_classifier_train_step())
     batch_d = {"text_input_ids": ids, "text_attention_mask": mask,
                "visual_inputs": pixels, "labels": labels}
     state, m = step(state, batch_d, key)
@@ -384,6 +394,8 @@ ROWS = {
                                32, classifier=True, moment_dtype="bf16"),
     "host": _measure_host,
     "accum": _measure_accum,
+    "clip1a": lambda: _measure_accum("clip1_accum4", batch=8, frames=1,
+                                     k=4, calls=8, family="classifier"),
     "eval": _measure_eval,
     "mdf": _measure_mdf,
     "score": _measure_scorer,
