@@ -121,6 +121,7 @@ int read_some(Decoder* d, int interval, int max_frames, int out_w,
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
   int written = 0;
+  int errors = 0;
   const int frame_bytes = out_w * out_h * 3;
   uint8_t* planes[1];
   int strides[1] = {out_w * 3};
@@ -138,7 +139,14 @@ int read_some(Decoder* d, int interval, int max_frames, int out_w,
       continue;
     }
     if (ret == AVERROR_EOF) break;
-    if (ret != AVERROR(EAGAIN)) break;  // decode error: return what we have
+    if (ret != AVERROR(EAGAIN)) {
+      // mid-stream decode error (e.g. one corrupted GOP): skip it and
+      // keep feeding packets — cv2's read loop likewise ignores bad
+      // frames instead of truncating the stream at the first error.
+      // Cannot spin: the feed path below consumes a packet or reaches
+      // EOF every iteration; the counter bounds pathological codecs.
+      if (++errors > 4096 || d->sent_eof) break;
+    }
     // codec wants input
     if (d->sent_eof) break;
     if (av_read_frame(d->fmt, pkt) < 0) {

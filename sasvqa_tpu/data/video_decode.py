@@ -160,7 +160,10 @@ class VideoDecoder:
                 if n == 0:
                     return
                 remaining -= n
-                yield buf[:n].copy()
+                # buf is freshly allocated every iteration, so the
+                # sliced view is safe to hand out without a copy (a
+                # .copy() here doubled the decode path's memory traffic)
+                yield buf[:n]
             return
         if self._h:  # stale .so without the seq API: one full read
             frames = self.read_frames(interval, max_frames, out_size)

@@ -26,17 +26,22 @@ from sasvqa_tpu.core.logging import LOGGER
 
 def load_frames(video: str, nframe: int, img_size: int) -> np.ndarray:
     """(1, nframe, S, S, 3) normalized frames via uniform centers."""
-    from sasvqa_tpu.data.video_decode import decode_video
+    from sasvqa_tpu.data.video_decode import VideoDecoder
     from sasvqa_tpu.tools.extract_frames import (_uniform_centers,
-                                                 preprocess_frames)
-    # native-resolution decode: preprocess_frames applies the HF
-    # processor's shortest-edge bicubic + center crop (an out_size
-    # decode would squash the aspect ratio — stage-A parity fix)
-    raw = decode_video(video)
-    if len(raw) == 0:
+                                                 geometry_frames,
+                                                 normalize_frames)
+    # native-resolution decode in bounded chunks, HF-processor-exact
+    # shortest-edge bicubic + center crop per chunk (same pipeline as
+    # the stage-A extractor: an out_size decode would squash the aspect
+    # ratio, and a whole-video native-res buffer is ~25 GB for a long
+    # 1080p clip)
+    with VideoDecoder(video) as dec:
+        chunks = [geometry_frames(c, img_size) for c in dec.iter_frames()]
+    if not chunks:
         raise IOError(f"no frames decoded from {video}")
-    frames = preprocess_frames(raw, img_size)
-    return frames[_uniform_centers(len(frames), nframe)][None]
+    frames_u8 = np.concatenate(chunks)
+    sel = frames_u8[_uniform_centers(len(frames_u8), nframe)]
+    return normalize_frames(sel)[None]
 
 
 def predict(args) -> str:

@@ -34,7 +34,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from sasvqa_tpu.core.logging import LOGGER
-from sasvqa_tpu.data.frame_store import FrameStoreWriter, save_vidmapping
+from sasvqa_tpu.data.frame_store import FrameStoreWriter
 from sasvqa_tpu.data.video_decode import VideoDecoder
 from sasvqa_tpu.utils.basic import load_json, save_json
 
@@ -259,6 +259,35 @@ def _shard_suffix(shard: Optional[Tuple[int, int]]) -> str:
     return f".shard{shard[0]}of{shard[1]}" if shard else ""
 
 
+def collect_shard_set(dirname: str, prefix: str,
+                      suffix: str = "") -> Optional[List[str]]:
+    """Discover a complete ``{prefix}.shard{i}of{N}{suffix}`` set.
+
+    Returns the N paths ordered by shard index, or None when no shard
+    files match; raises FileNotFoundError on an incomplete or
+    mixed-N set.  Shared by the extract-frames h5 merge and the
+    gen_sample caption/winds merges — one validation implementation."""
+    import glob
+    import re
+    spec = re.compile(r"\.shard(\d+)of(\d+)" + re.escape(suffix) + "$")
+    found = {}
+    for p in glob.glob(os.path.join(dirname,
+                                    f"{prefix}.shard*of*{suffix}")):
+        m = spec.search(p)
+        if m:
+            found[int(m.group(1))] = (p, int(m.group(2)))
+    if not found:
+        return None
+    n = next(iter(found.values()))[1]
+    missing = sorted(set(range(n)) - set(found))
+    if missing or any(total != n for _, total in found.values()):
+        raise FileNotFoundError(
+            f"incomplete shard set for {prefix} under {dirname}: have "
+            f"{sorted(found)}, expected 0..{n - 1} of {n} "
+            f"(missing {missing})")
+    return [found[i][0] for i in range(n)]
+
+
 def extract(video_paths: List[str], out_dir: str, args,
             shard: Optional[Tuple[int, int]] = None,
             global_rows: Optional[List[int]] = None) -> Dict[str, int]:
@@ -284,6 +313,13 @@ def extract(video_paths: List[str], out_dir: str, args,
         global_rows = list(range(len(video_paths)))
     save_json({vid: row for vid, row in zip(video_ids, global_rows)},
               map_out)
+    if shard:
+        # explicit per-h5-row global rows: the {vid: row} mapping above
+        # DEDUPS ids that truncate to the same stem ('clip.mp4' and
+        # 'clip.v2.mp4' both map as 'clip'), so its values can't be used
+        # to place shard h5 rows — one dup would shift every later row
+        save_json(list(global_rows),
+                  os.path.join(out_dir, f"vidrows{sfx}.json"))
 
     mdf = None
     if args.sampling_strategy == "repr":
@@ -366,58 +402,52 @@ def extract(video_paths: List[str], out_dir: str, args,
 def merge_extracted_shards(out_dir: str, args) -> Dict[str, int]:
     """Reassemble per-shard stores into the single-run layout.
 
-    Each shard's vidmapping carries GLOBAL rows, so the merge needs no
-    knowledge of the stride rule: shard h5 row j lands at the j-th
-    mapping value.  The result — both the HDF5 frame content and the
-    row-ordered vidmapping.json — is identical to a 1-shot extraction
-    over the same list (asserted by tests/test_shard_tools.py)."""
-    import glob
+    Each shard's ``vidrows`` sidecar lists the GLOBAL row of every h5
+    row in order, so the merge needs no knowledge of the stride rule —
+    and stays correct when two videos truncate to the same id (the
+    {vid: row} vidmapping dedups those, so its values can't place h5
+    rows).  The result — both the HDF5 frame content and the merged
+    vidmapping.json (duplicate ids resolve to their LAST row, matching
+    a 1-shot run's dict build order) — is identical to a 1-shot
+    extraction over the same list (asserted by
+    tests/test_shard_tools.py)."""
     import h5py
-    import re
     from sasvqa_tpu.data.frame_store import DATASET_NAME
 
-    shard_h5s = sorted(glob.glob(os.path.join(
-        out_dir, f"{args.dataset}_video_feat.h5.shard*of*")))
-    if not shard_h5s:
+    shard_h5s = collect_shard_set(out_dir, f"{args.dataset}_video_feat.h5")
+    if shard_h5s is None:
         raise FileNotFoundError(
             f"no shard stores under {out_dir} — run extract with "
             "--shard i/N first")
-    spec = re.compile(r"\.shard(\d+)of(\d+)$")
-    found = {}
-    for p in shard_h5s:
-        m = spec.search(p)
-        if not m:
-            continue
-        found[int(m.group(1))] = (p, int(m.group(2)))
-    n = next(iter(found.values()))[1]
-    missing = sorted(set(range(n)) - set(found))
-    if missing or any(total != n for _, total in found.values()):
-        raise FileNotFoundError(
-            f"incomplete shard set under {out_dir}: have "
-            f"{sorted(found)}, expected 0..{n - 1} of {n} "
-            f"(missing {missing})")
+    n = len(shard_h5s)
 
     mappings = [load_json(os.path.join(
         out_dir, f"vidmapping.shard{i}of{n}.json")) for i in range(n)]
-    total_rows = sum(len(m) for m in mappings)
-    rows_by_id = {vid: row for m in mappings for vid, row in m.items()}
-    assert len(rows_by_id) == total_rows, (
-        "duplicate video ids across shards — shards must partition "
+    row_lists = [load_json(os.path.join(
+        out_dir, f"vidrows.shard{i}of{n}.json")) for i in range(n)]
+    total_rows = sum(len(r) for r in row_lists)
+    seen_rows = [row for rows in row_lists for row in rows]
+    assert len(set(seen_rows)) == total_rows, (
+        "overlapping global rows across shards — shards must partition "
         "one video list")
-    ordered_ids = [vid for vid, _ in
-                   sorted(rows_by_id.items(), key=lambda kv: kv[1])]
+    # duplicate ids ACROSS shards resolve like a 1-shot dict build:
+    # the occurrence at the higher global row (later list position) wins
+    rows_by_id: Dict[str, int] = {}
+    for m in mappings:
+        for vid, row in m.items():
+            rows_by_id[vid] = max(int(row), rows_by_id.get(vid, -1))
 
     h5_out = os.path.join(out_dir, f"{args.dataset}_video_feat.h5")
-    with h5py.File(found[0][0], "r") as f0:
+    with h5py.File(shard_h5s[0], "r") as f0:
         _, k, d = f0[DATASET_NAME].shape
     hw = int(round((d // 3) ** 0.5))
     with FrameStoreWriter(h5_out, total_rows, k, hw) as writer:
         for i in range(n):
-            with h5py.File(found[i][0], "r") as f:
+            with h5py.File(shard_h5s[i], "r") as f:
                 ds = f[DATASET_NAME]
-                for local, grow in enumerate(mappings[i].values()):
+                for local, grow in enumerate(row_lists[i]):
                     writer.write(int(grow), np.asarray(ds[local]))
-    save_vidmapping(ordered_ids, os.path.join(out_dir, "vidmapping.json"))
+    save_json(rows_by_id, os.path.join(out_dir, "vidmapping.json"))
     LOGGER.info(f"merged {n} shards -> {h5_out} ({total_rows} videos)")
     return {"shards": n, "videos": total_rows}
 

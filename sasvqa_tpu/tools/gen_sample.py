@@ -209,27 +209,10 @@ def run_merge(args) -> None:
     qa_winds shards re-interleave by stride (shard i held samples
     [i::N]) so the merged list matches a 1-shot run's sample order
     exactly (tests/test_shard_tools.py)."""
-    import glob
-    import re
-    spec = re.compile(r"\.shard(\d+)of(\d+)\.json$")
+    from sasvqa_tpu.tools.extract_frames import collect_shard_set
 
     def shard_set(prefix: str):
-        found = {}
-        for p in glob.glob(os.path.join(args.anno_dir,
-                                        f"{prefix}.shard*of*.json")):
-            m = spec.search(p)
-            if m:
-                found[int(m.group(1))] = (p, int(m.group(2)))
-        if not found:
-            return None
-        n = next(iter(found.values()))[1]
-        missing = sorted(set(range(n)) - set(found))
-        if missing or any(t != n for _, t in found.values()):
-            raise FileNotFoundError(
-                f"incomplete shard set for {prefix} under "
-                f"{args.anno_dir}: have {sorted(found)}, expected "
-                f"0..{n - 1} of {n} (missing {missing})")
-        return [found[i][0] for i in range(n)]
+        return collect_shard_set(args.anno_dir, prefix, suffix=".json")
 
     merged_any = False
     caps = shard_set("frame_captions")

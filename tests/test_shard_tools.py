@@ -85,6 +85,48 @@ def test_extract_two_shards_merge_equals_one_shot(dataset_root, strategy):
     assert sorted(list(s0.values()) + list(s1.values())) == list(range(5))
 
 
+def test_shard_merge_with_duplicate_video_ids(tmp_path):
+    """Two videos whose names truncate to the same id ('dup.avi' and
+    'dup.v2.avi' both map as 'dup' — the reference's first-dot stem,
+    extract_features.py:28) must still merge row-exactly: the {vid: row}
+    vidmapping dedups them, so merge places h5 rows via the explicit
+    vidrows sidecar, and the merged mapping keeps the LAST row like a
+    1-shot dict build."""
+    from sasvqa_tpu.tools.extract_frames import main
+    droot = tmp_path / "msvd_qa"
+    vdir = droot / "video"
+    adir = droot / "annotations"
+    vdir.mkdir(parents=True)
+    adir.mkdir(parents=True)
+    w, h = 48, 36
+    for name in ("clip0.avi", "clip1.avi", "dup.avi", "dup.v2.avi"):
+        writer = cv2.VideoWriter(str(vdir / name),
+                                 cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                                 (w, h))
+        rng = np.random.default_rng(abs(hash(name)) % 1000)
+        for _ in range(8):
+            writer.write(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        writer.release()
+    save_json([dict(question=f"what in {name}?", answer="cat",
+                    video=name, answer_type="what")
+               for name in ("clip0.avi", "clip1.avi", "dup.avi",
+                            "dup.v2.avi")],
+              str(adir / "qa_train.json"))
+
+    base = ["--dataset", "msvd_qa", "--dataset_root", str(tmp_path),
+            "--sampling_strategy", "uni", "--K", "2", "--img_size", "32"]
+    main(base + ["--h5_fname", "oneshot"])
+    for i in (0, 1):
+        main(base + ["--h5_fname", "sharded", "--shard", f"{i}/2"])
+    main(base + ["--h5_fname", "sharded", "--merge_shards"])
+
+    data_1, map_1 = _store(str(tmp_path), "oneshot")
+    data_m, map_m = _store(str(tmp_path), "sharded")
+    assert len(data_1) == 4 and len(map_1) == 3  # mapping dedups 'dup'
+    assert map_m == map_1
+    np.testing.assert_array_equal(data_m, data_1)
+
+
 def test_merge_refuses_incomplete_shard_set(dataset_root):
     from sasvqa_tpu.tools.extract_frames import main
     base = ["--dataset", "msvd_qa", "--dataset_root", dataset_root,
