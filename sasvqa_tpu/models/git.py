@@ -403,12 +403,13 @@ class GITForCausalLM(nn.Module):
             # SPLIT-cache attention: score the image and text caches in
             # place and concatenate only the (B, H, 1, M+maxlen) score
             # vectors.  A concatenate([k_img, k_txt]) here materialises
-            # a copy of the whole image K/V cache (flagship: ~300 MB of
-            # writes per decode step across the 6 layers) on top of the
-            # unavoidable cache *reads* — the measured 1.86 vs 0.75
-            # ms/token floor gap was mostly that copy.  Same numerics as
-            # ops/attention._xla_attention: f32 scores/softmax, bf16
-            # probs @ v with f32 accumulation.
+            # a copy of the whole image K/V cache on top of the
+            # unavoidable cache *reads*; removing it measured 1.86 ->
+            # 1.78 ms/token (r4) — the rest of the gap to the ~0.75
+            # cache-read floor is M=1 underfill, and a Pallas decode
+            # kernel LOST 4.3x to this XLA form (BASELINE.md r4 decode
+            # notes).  Same numerics as ops/attention._xla_attention:
+            # f32 scores/softmax, bf16 probs @ v with f32 accumulation.
             scale = q.shape[-1] ** -0.5
             s_img = jnp.einsum("bhqd,bhkd->bhqk", q, k_img,
                                preferred_element_type=jnp.float32) * scale
