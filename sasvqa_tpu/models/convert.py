@@ -323,6 +323,34 @@ def convert_clip_classifier(sd: Dict[str, Any], num_text_layers: int,
     }
 
 
+def convert_blip_classifier(sd: Dict[str, Any], num_text_layers: int,
+                            num_vision_layers: int,
+                            n_fusion_layers: int = 1) -> Dict[str, Any]:
+    """Reference BLIP-family ``CLIPForSeqClassification`` state dict
+    (src/modeling/modeling.py:393-411 with ``BLIPBaseModel``,
+    :299-315) -> ``BLIPVideoQA`` params — the whole trained model:
+    BLIP vision tower, cross-attending BLIP text encoder, the dec-only
+    CrossAttentionLayer and the linear answer classifier.
+    ``CLIPModelforFinetune`` dicts (``VLModel.`` prefix) accepted too.
+    """
+    if any(k.startswith("VLModel.") for k in sd):
+        sd = {k[len("VLModel."):]: v for k, v in sd.items()
+              if k.startswith("VLModel.")}
+    return {
+        "txt_model": convert_blip_text(
+            sd, num_text_layers, prefix="vlm.txt_model"),
+        "vis_model": convert_blip_vision(
+            sd, num_vision_layers, prefix="vlm.vis_model"),
+        "answer_head": {
+            "attention": {
+                f"layers_{i}": _torch_decoder_layer(
+                    sd, f"attention.attention.layers.{i}")
+                for i in range(n_fusion_layers)},
+            "classifier": _lin(sd, "classifier"),
+        },
+    }
+
+
 def convert_clip_video_qa(sd: Dict[str, Any], num_text_layers: int,
                           num_vision_layers: int) -> Dict[str, Any]:
     """Full CLIPModel (text+vision+projections) -> CLIPVideoQA encoder

@@ -604,3 +604,185 @@ def test_reference_collator_vs_rebuild_collator(setup):
     np.testing.assert_allclose(
         ours["visual_inputs"],
         ref_vis.transpose(0, 1, 3, 4, 2), rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# BLIP family: the same composed-trajectory proof for the third model
+# family — reference BLIPVideoQACollator -> CLIPModelforFinetune with
+# BLIPBaseModel (BlipVision + cross-attending BlipText,
+# modeling.py:299-315) -> CLIPForSeqClassification fusion/classifier ->
+# CE -> torch AdamW + MultiStepLR — vs the rebuild's BLIPVideoQA scan
+# step from a FULL converted state dict (convert_blip_classifier).
+# nframe=1 'single' policy: the reference BLIP path only supports T=1
+# (dataset_video_qa.py:280 "FIXME: only impl single here").
+
+
+@pytest.fixture(scope="module")
+def blip_setup(tmp_path_factory):
+    import torch
+    from sasvqa_tpu.data.annotations import (build_common_answer_dict,
+                                             group_datalist, load_datalist)
+    from sasvqa_tpu.data.frame_store import load_vidmapping
+    from sasvqa_tpu.data.synthetic import make_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("refparity_blip")
+    paths = make_synthetic_dataset(str(root / "data"), num_videos=4,
+                                   stored_frames=STORED_K, img_hw=IMG,
+                                   questions_per_video=2)
+    ref_data, ref_modeling = _import_reference()
+    import src.modeling.clip_model as ref_clip_model
+    hf_tok, vocab_size = _hf_tokenizer(root)
+
+    datalist = load_datalist("msvd_qa", paths["train"])
+    grouped = group_datalist(datalist, max_n_example_per_group=1,
+                             is_train=True)
+    ans2label = build_common_answer_dict((paths["train"],), 1000)
+    assert len(ans2label) <= NUM_LABELS
+    vid2id = load_vidmapping(paths["vidmapping"])
+
+    ds = ref_data.VideoQADataset(
+        task_type="msvd_qa", datalist=grouped, tokenizer=hf_tok,
+        img_hdf5_dir=paths["h5"], ans2label=ans2label, vid2id=vid2id,
+        return_label=True, is_train=True)
+    collator = ref_data.BLIPVideoQACollator(
+        processor=hf_tok, max_length=20, task_type="msvd_qa",
+        nframe=1, samp_policy="single", img_size=IMG)
+    base = [collator.collate_batch([ds[i] for i in idx])
+            for idx in (range(0, 2), range(2, 4))]
+    batches = [base[i % len(base)] for i in range(N_MICROS)]
+
+    # tiny HF towers from config objects — BLIPBaseModel hub loads
+    # (modeling.py:303-304) patched to return them.  is_decoder=True
+    # only GATES the crossattention modules' existence in HF
+    # BlipTextLayer; causality is forward()'s own is_decoder flag,
+    # which the reference never passes (modeling.py:307-315)
+    from transformers import BlipTextConfig, BlipVisionConfig
+    from transformers.models.blip.modeling_blip import BlipVisionModel
+    from transformers.models.blip.modeling_blip_text import BlipTextModel
+    vcfg = BlipVisionConfig(
+        hidden_size=H, intermediate_size=FF, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, image_size=IMG, patch_size=PATCH,
+        attention_dropout=0.0)
+    tcfg = BlipTextConfig(
+        vocab_size=vocab_size, hidden_size=H, intermediate_size=FF,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        max_position_embeddings=32, encoder_hidden_size=H,
+        is_decoder=True, attention_probs_dropout_prob=0.0,
+        hidden_dropout_prob=0.0)
+    torch.manual_seed(0)
+    vis = BlipVisionModel(vcfg)
+    txt = BlipTextModel(tcfg, add_pooling_layer=True)
+
+    class _FakeHub:
+        def __init__(self, model):
+            self.model = model
+
+        def from_pretrained(self, *a, **k):
+            return self.model
+
+    cfg = types.SimpleNamespace(
+        pretrained_model="tiny-blip", num_labels=NUM_LABELS,
+        loss_type="ce", hidden_dropout_prob=0.0, txt_output_size=H)
+    saved = (ref_modeling.BlipVisionModel, ref_modeling.BlipTextModel)
+    ref_modeling.BlipVisionModel = _FakeHub(vis)
+    ref_modeling.BlipTextModel = _FakeHub(txt)
+    try:
+        torch.manual_seed(1)   # fusion head + classifier init
+        model = ref_clip_model.CLIPModelforFinetune(cfg)
+    finally:
+        (ref_modeling.BlipVisionModel,
+         ref_modeling.BlipTextModel) = saved
+    for m in model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+        elif isinstance(m, torch.nn.MultiheadAttention):
+            m.dropout = 0.0
+    model.train()
+    return model, batches, vocab_size
+
+
+def _fx_blip_model(vocab_size):
+    from sasvqa_tpu.models.blip import (BLIPTextConfig as FxT,
+                                        BLIPVisionConfig as FxV)
+    from sasvqa_tpu.models.video_qa import (BLIPVideoQA,
+                                            ClassifierHeadConfig)
+    tc = FxT(vocab_size=vocab_size, hidden_size=H, intermediate_size=FF,
+             num_layers=LAYERS, num_heads=HEADS,
+             max_position_embeddings=32, encoder_width=H)
+    vc = FxV(hidden_size=H, intermediate_size=FF, num_layers=LAYERS,
+             num_heads=HEADS, image_size=IMG, patch_size=PATCH)
+    head = ClassifierHeadConfig(num_labels=NUM_LABELS, loss_type="ce",
+                                hidden_dropout_prob=0.0)
+    return BLIPVideoQA(tc, vc, head)
+
+
+def _run_rebuild_blip(state_dict, batches, vocab_size):
+    from sasvqa_tpu.core.config import ConfigDict
+    from sasvqa_tpu.data.pipeline import stack_microbatches
+    from sasvqa_tpu.models.convert import (convert_blip_classifier,
+                                           merge_pretrained)
+    from sasvqa_tpu.train import steps as ts
+
+    fx = _fx_blip_model(vocab_size)
+    first = _to_ours_clip(batches[0])
+    init = fx.init(jax.random.key(0), first["text_input_ids"],
+                   first["text_attention_mask"], first["visual_inputs"])
+    converted = convert_blip_classifier(state_dict, LAYERS, LAYERS)
+    params, report = merge_pretrained(init["params"], converted)
+    assert not report["mismatched"], report["mismatched"]
+    assert all(p.startswith("/mc_head") for p in report["missing_in_ckpt"]
+               ), report["missing_in_ckpt"]
+    params = {"params": params}
+
+    cfg = ConfigDict(optim="adamw", learning_rate=LR, decay="multi_step",
+                     step_decay_epochs=[1], num_train_epochs=2, gamma=0.5,
+                     weight_decay=0.01, grad_norm=-1,
+                     gradient_accumulation_steps=K_ACCUM, scan_accum=1,
+                     accum_grad_mean=0, betas=[0.9, 0.999])
+    tx = ts.make_optimizer(cfg, total_steps=N_MICROS // K_ACCUM,
+                           params=None)
+    state = ts.TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=tx.init(params), tx=tx,
+                          apply_fn=fx.apply)
+    step_fn = ts.make_scan_train_step(K_ACCUM, "classifier",
+                                      grad_mean=False)
+    losses = []
+    for sb in stack_microbatches(iter(map(_to_ours_clip, batches)),
+                                 K_ACCUM):
+        state, metrics = step_fn(state, sb, jax.random.key(0))
+        losses.append(float(metrics["loss"]))
+    return losses, state.params
+
+
+def test_reference_blip_trajectory_parity(blip_setup):
+    model, batches, vocab_size = blip_setup
+    ref_losses, ref_final = _run_reference_clip(model, batches)
+    our_losses, our_final = _run_rebuild_blip(
+        {k: v.clone() for k, v in model.VLModel.state_dict().items()},
+        batches, vocab_size)
+
+    ref_means = [float(np.mean(ref_losses[i:i + K_ACCUM]))
+                 for i in range(0, N_MICROS, K_ACCUM)]
+    assert len(our_losses) == len(ref_means) == N_MICROS // K_ACCUM
+    np.testing.assert_allclose(our_losses, ref_means, rtol=2e-4,
+                               atol=2e-5)
+
+    from flax.traverse_util import flatten_dict
+    from sasvqa_tpu.models.convert import convert_blip_classifier
+
+    def jax_flat(tree):
+        return {"/".join(k): np.asarray(v)
+                for k, v in flatten_dict(tree).items()}
+
+    ref_fx = convert_blip_classifier(ref_final, LAYERS, LAYERS)
+    flat_ref = jax_flat(ref_fx)
+    flat_our = jax_flat(our_final["params"])
+    assert set(flat_ref) <= set(flat_our)
+    for k in flat_ref:
+        # K-projection biases are gauge directions under softmax (see
+        # the CLIP trajectory test): skip BERT-style 'key' biases and
+        # the fusion head's MHA K third
+        if k.endswith("key/bias") or k.endswith("k_proj/bias"):
+            continue
+        np.testing.assert_allclose(flat_our[k], flat_ref[k], rtol=5e-3,
+                                   atol=2e-5, err_msg=k)

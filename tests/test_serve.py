@@ -1,0 +1,124 @@
+"""tasks/serve.py — micro-batching inference engine: batch assembly,
+fixed-shape padding, answer semantics for both families, concurrency,
+error isolation, shutdown."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+K_STORED = 6
+IMG = 32
+NFRAME = 2
+
+
+def _frames(seed):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(K_STORED, IMG, IMG, 3)).astype(np.float32)
+
+
+def _build(family_name, num_labels=0):
+    from sasvqa_tpu.core.config import ConfigDict
+    from sasvqa_tpu.models.presets import build_model
+    from sasvqa_tpu.tasks.run_video_qa import build_tokenizer
+
+    cfg = ConfigDict({"model": {"pretrained_model": family_name,
+                                "vocab_size": None},
+                      "img_size": IMG, "num_labels": max(num_labels, 1),
+                      "tokenizer_dir": None, "classifier": "mlp"})
+    family, model = build_model(cfg, dtype=jnp.bfloat16)
+    tokenizer = build_tokenizer(cfg, family)
+    ids = jnp.ones((1, 4), jnp.int32)
+    px = jnp.zeros((1, 1, IMG, IMG, 3))
+    params = jax.jit(model.init)(jax.random.key(0), ids,
+                                 jnp.ones_like(ids), px)
+    return family, model, params, tokenizer
+
+
+@pytest.fixture(scope="module")
+def git_engine():
+    from sasvqa_tpu.tasks.serve import QAEngine
+    family, model, params, tok = _build("tiny-git")
+    eng = QAEngine(model, params, family, tok,
+                   ans2label={"yes": 0, "no": 1}, nframe=NFRAME,
+                   samp_policy="uniform", batch_size=4, linger_ms=30.0,
+                   max_txt_len=8, max_text_len=12)
+    yield eng
+    eng.close()
+
+
+def test_git_engine_matches_direct_batch(git_engine):
+    """Concurrent submits give exactly the answers a direct full-batch
+    run of the same requests produces (same collator, same step)."""
+    reqs = [(_frames(i), f"question number {i}") for i in range(4)]
+    expected = git_engine._run_batch([(f, q, None) for f, q in reqs])
+
+    futs = [git_engine.submit(f, q) for f, q in reqs]
+    got = [f.result(timeout=300) for f in futs]
+    # the engine may split these across batches depending on timing;
+    # answers must be identical either way (uniform policy, fixed rng)
+    for g, e in zip(got, expected):
+        assert g == e
+    assert all(isinstance(g["answer"], str) for g in got)
+
+
+def test_partial_batch_equals_full_batch(git_engine):
+    """A lone request (tail padded with repeats) answers identically to
+    the same request inside a full batch — padding rows can't leak."""
+    frames, q = _frames(7), "what is shown"
+    solo = git_engine.submit(frames, q).result(timeout=300)
+    full = git_engine._run_batch([(frames, q, None)] * 4)
+    assert solo == full[0]
+
+
+def test_submit_from_threads(git_engine):
+    results = {}
+
+    def worker(i):
+        results[i] = git_engine.answer(_frames(i), f"thread q {i}",
+                                       timeout=300)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert set(results) == set(range(6))
+    assert all("answer" in r and "label" in r for r in results.values())
+
+
+def test_bad_frames_rejected_immediately(git_engine):
+    with pytest.raises(ValueError):
+        git_engine.submit(np.zeros((IMG, IMG, 3), np.float32), "q")
+
+
+def test_classifier_engine_answers_from_vocab():
+    from sasvqa_tpu.tasks.serve import QAEngine
+    vocab = {"yes": 0, "no": 1, "cat": 2}
+    family, model, params, tok = _build("tiny-clip", num_labels=3)
+    with QAEngine(model, params, family, tok, ans2label=vocab,
+                  nframe=NFRAME, batch_size=2, linger_ms=5.0,
+                  max_txt_len=8) as eng:
+        res = eng.answer(_frames(0), "is it a cat?", timeout=300)
+        assert res["label"] in vocab.values()
+        assert res["answer"] == {v: k for k, v in vocab.items()}[
+            res["label"]]
+        # deterministic across calls (uniform policy, fixed seed)
+        again = eng.answer(_frames(0), "is it a cat?", timeout=300)
+        assert again == res
+        assert eng.stats["requests"] == 2
+    # closed engine refuses new work
+    with pytest.raises(RuntimeError):
+        eng.submit(_frames(0), "q")
+
+
+def test_classifier_requires_vocab():
+    from sasvqa_tpu.tasks.serve import QAEngine
+    family, model, params, tok = _build("tiny-clip", num_labels=3)
+    with pytest.raises(ValueError):
+        QAEngine(model, params, family, tok, ans2label=None)
