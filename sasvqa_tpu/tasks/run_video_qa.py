@@ -154,10 +154,15 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
     def clip_rngs(idx, clip: int):
         return [np.random.default_rng((cfg.seed, int(i), clip))
                 for i in idx]
-    # multi-clip ensemble eval: aggregate logits over n independent
-    # frame samples per video (score_agg_func, configs/config.py:99-101)
-    ensemble = int(cfg.get("inference_n_clips", 1)) \
-        if family != "git" and not n_options and logits_step else 1
+    # multi-clip ensemble eval: classifiers aggregate logits over n
+    # independent frame samples per video (score_agg_func,
+    # configs/config.py:99-101 — set by every live JSON, read by no
+    # live loop); the generative GIT path has no logits to pool, so it
+    # majority-votes the per-clip decoded answers instead (ties ->
+    # first clip, deterministic)
+    ensemble = 1 if n_options else int(cfg.get("inference_n_clips", 1))
+    if family != "git" and not logits_step:
+        ensemble = 1
 
     from sasvqa_tpu.data.pipeline import DevicePrefetcher, eval_batch_plan
     from sasvqa_tpu.parallel.mesh import fetch_replicated, shard_batch
@@ -204,6 +209,13 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
         batch = stage(raw)
         if family == "git":
             dev = eval_step(state, batch)
+            if ensemble > 1:
+                # per-clip generations; answer voting happens host-side
+                # in consume (no logits to pool on the generative path)
+                dev = [dev] + [
+                    eval_step(state, stage(collator(
+                        items, rng=clip_rngs(local_idx, c))))
+                    for c in range(1, ensemble)]
         elif ensemble > 1:
             # extra clips re-run only the collator on the items read
             # above (frame re-sampling lives in the collator)
@@ -221,13 +233,30 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
         nonlocal n_ex
         gqids, n_real, dev = pending
         if family == "git":
-            generated = fetch_replicated(dev, mesh)
-            preds, strs = decode_answers(tokenizer, generated[:n_real],
-                                         ans2label)
-            for qid, p, s in zip(gqids, preds, strs):
-                qa_results.append(dict(question_id=qid, answer=p,
-                                       answer_str=s,
-                                       data=dataset.qid2data[qid]))
+            if isinstance(dev, list):  # multi-clip answer voting
+                from collections import Counter
+                per_clip = [decode_answers(
+                    tokenizer, fetch_replicated(d, mesh)[:n_real],
+                    ans2label) for d in dev]
+                for i, qid in enumerate(gqids[:n_real]):
+                    votes = [preds[i] for preds, _ in per_clip]
+                    # Counter.most_common keeps first-seen order on
+                    # ties -> clip 0 wins deterministically
+                    lbl = Counter(votes).most_common(1)[0][0]
+                    s = next(strs[i] for preds, strs in per_clip
+                             if preds[i] == lbl)
+                    qa_results.append(dict(question_id=qid, answer=lbl,
+                                           answer_str=s,
+                                           data=dataset.qid2data[qid]))
+            else:
+                generated = fetch_replicated(dev, mesh)
+                preds, strs = decode_answers(tokenizer,
+                                             generated[:n_real],
+                                             ans2label)
+                for qid, p, s in zip(gqids, preds, strs):
+                    qa_results.append(dict(question_id=qid, answer=p,
+                                           answer_str=s,
+                                           data=dataset.qid2data[qid]))
         elif ensemble > 1:
             from sasvqa_tpu.train.retrieval import aggregate_clip_scores
             all_logits = [fetch_replicated(d, mesh)[:n_real] for d in dev]
@@ -592,6 +621,11 @@ def start_training(cfg) -> Dict[str, Any]:
             running_loss(vals["loss"])
             TB_LOGGER.global_step = gs
             TB_LOGGER.add_scalar("train/loss", vals["loss"])
+            # lr is a pure host function of the step (reference logs
+            # train/lr_* too, run_video_retrieval.py:468-482) — no
+            # device fetch
+            TB_LOGGER.add_scalar("train/lr", train_steps.lr_at(
+                cfg, cfg.num_train_steps, gs))
             if "grad_norm" in vals:
                 TB_LOGGER.add_scalar("train/grad_norm", vals["grad_norm"])
             if "acc_correct" in vals:

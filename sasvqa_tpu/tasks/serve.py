@@ -96,6 +96,21 @@ class QAEngine:
         self.stats = {"requests": 0, "batches": 0, "batch_rows": 0}
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
+        # submit()/close() handshake: without this lock a request that
+        # passes the _closed check while close() runs would be enqueued
+        # BEHIND the shutdown sentinel and its future would never
+        # resolve (advisor r4).  The dispatcher additionally drains any
+        # stragglers after the sentinel and fails their futures loudly.
+        self._lock = threading.Lock()
+        # All co-batched requests share ONE collator pass whose frame
+        # re-sampling indices and output H/W come from the batch's
+        # FIRST item (dataset.py _resample_frames) — a mixed-shape
+        # batch is silently wrong (more stored frames: sampled only
+        # from the first K0) or throws (fewer / different H/W), so the
+        # engine pins (K, H, W, 3) to the first submitted shape and
+        # rejects mismatches at submit() time, before they can poison a
+        # shared batch (advisor r4, medium).
+        self._frame_shape: Optional[tuple] = None
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True, name="qa-engine")
         self._thread.start()
@@ -104,15 +119,25 @@ class QAEngine:
     def submit(self, frames: np.ndarray, question: str) -> Future:
         """frames: (K, H, W, 3) float normalized (frame-store layout);
         the collator re-samples ``nframe`` of them by ``samp_policy``.
-        Returns a Future resolving to {"answer": str, "label": int}."""
-        if self._closed:
-            raise RuntimeError("engine is closed")
+        All requests to one engine must share a single (K, H, W, 3)
+        shape — the first submit pins it.  Returns a Future resolving
+        to {"answer": str, "label": int}."""
         frames = np.asarray(frames)
         if frames.ndim != 4 or frames.shape[-1] != 3:
             raise ValueError(f"frames must be (K, H, W, 3), "
                              f"got {frames.shape}")
-        fut: Future = Future()
-        self._queue.put((frames, str(question), fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("engine is closed")
+            if self._frame_shape is None:
+                self._frame_shape = frames.shape
+            elif frames.shape != self._frame_shape:
+                raise ValueError(
+                    f"frames shape {frames.shape} does not match this "
+                    f"engine's pinned shape {self._frame_shape}; requests "
+                    "in one engine must share (stored K, H, W, 3)")
+            fut: Future = Future()
+            self._queue.put((frames, str(question), fut))
         return fut
 
     def answer(self, frames: np.ndarray, question: str,
@@ -122,10 +147,12 @@ class QAEngine:
 
     def close(self):
         """Drain outstanding requests, then stop the dispatcher."""
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(None)
-            self._thread.join()
+        self._thread.join()
 
     def __enter__(self):
         return self
@@ -161,7 +188,18 @@ class QAEngine:
         while True:
             reqs = self._drain_batch()
             if reqs is None:
-                return
+                # Shutdown: anything still queued (racing submits that
+                # lost to close()) can never run — fail those futures
+                # instead of leaving their callers blocked forever.
+                while True:
+                    try:
+                        leftover = self._queue.get_nowait()
+                    except queue.Empty:
+                        return
+                    if leftover is not None:
+                        leftover[2].set_exception(
+                            RuntimeError("engine closed before this "
+                                         "request was dispatched"))
             try:
                 results = self._run_batch(reqs)
                 for (_, _, fut), res in zip(reqs, results):
@@ -223,7 +261,9 @@ def build_argparser():
                    help="local HF checkpoint dir")
     p.add_argument("--orbax_ckpt", default=None,
                    help="trained ModelSaver snapshot dir")
-    p.add_argument("--orbax_step", type=int, default=-1)
+    p.add_argument("--orbax_step", type=int, default=-1,
+                   help="snapshot step to serve; -1 = latest (0 is a "
+                        "valid explicit step)")
     p.add_argument("--tokenizer_dir", default=None)
     p.add_argument("--ans2label_path", default=None,
                    help="answer vocab JSON (required for classifiers)")
@@ -269,7 +309,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.orbax_ckpt:
         from sasvqa_tpu.core.checkpoint import ModelSaver
         saver = ModelSaver(args.orbax_ckpt)
-        step = args.orbax_step if args.orbax_step > 0 \
+        step = args.orbax_step if args.orbax_step >= 0 \
             else saver.latest_step()
         if step is None:
             raise FileNotFoundError(
@@ -286,15 +326,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     LOGGER.info(f"serving {len(requests)} requests "
                 f"(batch_size={args.batch_size})")
 
+    # Decode ALL videos before submitting: with the default 5 ms linger,
+    # submitting as we decode would dispatch every request as a batch of
+    # 1 padded to batch_size — correct answers but up to batch_size×
+    # wasted TPU compute (advisor r4).  Decoding first lets the engine
+    # fill real batches back-to-back.
+    decoded = [(req, load_frames(req["video"], args.stored_frames,
+                                 args.img_size)[0]) for req in requests]
     with QAEngine(model, params, family, tokenizer, ans2label=ans2label,
                   nframe=args.nframe, batch_size=args.batch_size,
                   linger_ms=args.linger_ms) as engine, \
             open(args.out, "w") as out:
-        futs = []
-        for req in requests:
-            frames = load_frames(req["video"], args.stored_frames,
-                                 args.img_size)[0]
-            futs.append((req, engine.submit(frames, req["question"])))
+        futs = [(req, engine.submit(frames, req["question"]))
+                for req, frames in decoded]
         for req, fut in futs:
             res = fut.result()
             out.write(json.dumps({"question": req["question"],

@@ -59,6 +59,36 @@ def constant(learning_rate: float) -> optax.Schedule:
     return optax.constant_schedule(learning_rate)
 
 
+def lr_value(decay: str, learning_rate: float, step: int,
+             total_steps: int = 0, warmup_ratio: float = 0.1,
+             milestones: Optional[Sequence[int]] = None,
+             gamma: float = 0.5, floor: float = 1e-8) -> float:
+    """Host-side (pure Python) lr at an optimizer step.
+
+    Mirrors :func:`get_lr_schedule` exactly (pinned by
+    tests/test_optimizer.py::test_lr_value_matches_schedules) so the
+    training loop can log ``train/lr`` (the reference's metrics
+    taxonomy, run_video_retrieval.py:468-482) without any device op or
+    fetch in the hot loop."""
+    step = int(step)
+    if decay == "constant" or decay is None:
+        return float(learning_rate)
+    if decay == "multi_step":
+        count = sum(step >= m for m in (milestones or []))
+        return float(learning_rate * gamma ** count)
+    warmup = max(int(warmup_ratio * total_steps), 1)
+    if decay == "linear":
+        if step < warmup:
+            return float(learning_rate * step / warmup)
+        return float(learning_rate * max(
+            (total_steps - step) / max(total_steps - warmup, 1), floor))
+    if decay == "invsqrt":
+        s = float(max(step, 1))
+        return float(learning_rate
+                     * min(s ** -0.5, s * warmup ** -1.5) * warmup ** 0.5)
+    raise ValueError(f"unknown decay {decay!r}")
+
+
 def get_lr_schedule(decay: str, learning_rate: float,
                     total_steps: int = 0, warmup_ratio: float = 0.1,
                     milestones: Optional[Sequence[int]] = None,

@@ -210,6 +210,29 @@ def make_optimizer(cfg, total_steps: int,
     return out
 
 
+def lr_at(cfg, total_steps: int, global_step: int) -> float:
+    """Host-side lr actually applied by the update that produced
+    ``global_step`` (1-based) — zero device ops, for train/lr logging.
+
+    optax's scale_by_learning_rate evaluates the schedule at its
+    internal update-call count (pre-increment, so the first update sees
+    count 0).  Both formulations advance that count once per global
+    step: scan-accum calls update() once per window, and MultiSteps
+    only COMMITS its inner state at window boundaries (measured:
+    inner count == gradient_step at every micro).  Milestone units
+    follow make_optimizer exactly."""
+    from sasvqa_tpu.train.schedules import lr_value
+    steps_per_epoch = max(
+        total_steps // max(cfg.get("num_train_epochs", 1), 1), 1)
+    milestones = [m * steps_per_epoch
+                  for m in (cfg.get("step_decay_epochs") or [])]
+    count = int(global_step) - 1
+    return lr_value(cfg.get("decay", "constant"), cfg.learning_rate,
+                    max(count, 0), total_steps=total_steps,
+                    warmup_ratio=cfg.get("warmup_ratio", 0.1),
+                    milestones=milestones, gamma=cfg.get("gamma", 0.5))
+
+
 def create_train_state(model, params, cfg, total_steps: int) -> TrainState:
     tx = make_optimizer(cfg, total_steps, params=params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,

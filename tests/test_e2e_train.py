@@ -155,6 +155,21 @@ def test_multiclip_ensemble_eval(synth, tmp_path):
     assert "overall_acc" in result["val"]
 
 
+def test_git_multiclip_ensemble_eval(synth, tmp_path):
+    """GIT + inference_n_clips > 1: the generative path has no logits to
+    pool, so eval majority-votes the per-clip decoded answers (r5,
+    closing the capability gap at the old `family != 'git'` gate)."""
+    from sasvqa_tpu.tasks.run_video_qa import main
+    cfg_path = _write_config(
+        tmp_path, synth,
+        {"pretrained_model": "tiny-git", "vocab_size": 512, "img_len": 2},
+        samp_policy="random", inference_n_clips=2,
+        gen_max_text_len=24, gen_max_new_tokens=4)
+    result = main(["--task", "msvd_qa", "--config", cfg_path])
+    assert np.isfinite(result["train_loss"])
+    assert "overall_acc" in result["val"]
+
+
 def test_frameqa_end_to_end(tmp_path_factory, tmp_path):
     """TGIF frameqa: JSONL annotations, open-ended 1540-way head,
     object/number/color/location answer types."""

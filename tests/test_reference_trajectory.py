@@ -778,11 +778,38 @@ def test_reference_blip_trajectory_parity(blip_setup):
     flat_ref = jax_flat(ref_fx)
     flat_our = jax_flat(our_final["params"])
     assert set(flat_ref) <= set(flat_our)
+    skipped = []
     for k in flat_ref:
-        # K-projection biases are gauge directions under softmax (see
-        # the CLIP trajectory test): skip BERT-style 'key' biases and
-        # the fusion head's MHA K third
-        if k.endswith("key/bias") or k.endswith("k_proj/bias"):
+        # Gauge directions — leaves whose gradient is EXACTLY zero in
+        # exact arithmetic, so both optimizers integrate pure numerical
+        # noise there (diagnosed r5; /tmp-reproducible via the grad
+        # probe below):
+        # (a) K-projection biases under softmax (see the CLIP test);
+        # (b) the fusion head's cross_attn q/k ENTIRELY: this test runs
+        #     the reference BLIP path's only supported shape nframe=1
+        #     ('single' policy), so cross-attention sees ONE kv token,
+        #     softmax == 1 identically, and the whole QK pathway is
+        #     invisible to the loss.  JAX autodiff yields exact 0.0
+        #     grads (the trajectory is pure weight decay — verified
+        #     against the closed-form (1-lr*wd)^t prediction to all
+        #     printed digits), while torch's fused-MHA backward leaves
+        #     ~1e-6 f32 residuals that AdamW's per-element
+        #     normalization amplifies into an O(lr) random walk
+        #     (measured d/upd ~= 1.0 on exactly these leaves across 4
+        #     seeds, everywhere else <= 2%).
+        if (k.endswith("key/bias") or k.endswith("k_proj/bias")
+                or "cross_attn/q_proj" in k or "cross_attn/k_proj" in k):
+            skipped.append(k)
             continue
+        # atol: measured op-order noise on non-gauge leaves is
+        # <= 2.9e-5 at 8 micros (worst leaf vis fc2, 1.8% of its own
+        # update) and does NOT grow with trajectory length (2.8e-5 at
+        # 16 micros = 0.68% of update) — 1e-4 gives a 3.4x margin
         np.testing.assert_allclose(flat_our[k], flat_ref[k], rtol=5e-3,
-                                   atol=2e-5, err_msg=k)
+                                   atol=1e-4, err_msg=k)
+    # the skip list must stay exactly the documented gauge set — it
+    # cannot silently grow to hollow the test out
+    assert all(k.endswith(("key/bias", "k_proj/bias"))
+               or "cross_attn/q_proj" in k or "cross_attn/k_proj" in k
+               for k in skipped)
+    assert sum("cross_attn" in k for k in skipped) == 4  # q/k kernel+bias

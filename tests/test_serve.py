@@ -97,6 +97,62 @@ def test_bad_frames_rejected_immediately(git_engine):
         git_engine.submit(np.zeros((IMG, IMG, 3), np.float32), "q")
 
 
+def test_mismatched_shape_rejected_at_submit(git_engine):
+    """The engine pins (K, H, W, 3) to the first submitted shape; a
+    request with a different stored-K or H/W would be silently
+    mis-sampled (or crash) inside a shared collator batch, so it must
+    be rejected in submit() before entering the queue."""
+    git_engine.answer(_frames(0), "pin the shape", timeout=300)
+    with pytest.raises(ValueError, match="pinned shape"):
+        git_engine.submit(
+            np.zeros((K_STORED + 2, IMG, IMG, 3), np.float32), "q")
+    with pytest.raises(ValueError, match="pinned shape"):
+        git_engine.submit(
+            np.zeros((K_STORED, IMG * 2, IMG * 2, 3), np.float32), "q")
+    # matching shape still accepted after the rejections
+    ok = git_engine.answer(_frames(1), "still serving", timeout=300)
+    assert "answer" in ok
+
+
+def test_close_fails_queued_stragglers_instead_of_hanging():
+    """A request enqueued behind the shutdown sentinel must get an
+    exception on its future, not block .result() forever.  The submit/
+    close lock makes this unreachable through the public API; this
+    drives the dispatcher's defense-in-depth drain directly by holding
+    it inside a batch while the sentinel and a straggler are queued."""
+    from concurrent.futures import Future
+    from sasvqa_tpu.tasks.serve import QAEngine
+    family, model, params, tok = _build("tiny-clip", num_labels=2)
+    eng = QAEngine(model, params, family, tok,
+                   ans2label={"yes": 0, "no": 1}, nframe=NFRAME,
+                   batch_size=1, linger_ms=1.0, max_txt_len=8)
+    gate = threading.Event()
+    entered = threading.Event()
+    real_run = eng._run_batch
+
+    def slow_run(reqs):
+        entered.set()
+        assert gate.wait(timeout=300)
+        return real_run(reqs)
+
+    eng._run_batch = slow_run
+    blocker = eng.submit(_frames(0), "hold the dispatcher")
+    assert entered.wait(timeout=300)
+    # dispatcher is now inside slow_run; enqueue sentinel THEN a
+    # straggler, exactly the old unlocked check-then-put interleaving
+    straggler = Future()
+    with eng._lock:
+        eng._closed = True
+        eng._queue.put(None)
+        eng._queue.put((_frames(1), "too late", straggler))
+    gate.set()
+    eng._thread.join(timeout=300)
+    assert not eng._thread.is_alive()
+    assert "answer" in blocker.result(timeout=5)
+    with pytest.raises(RuntimeError, match="closed"):
+        straggler.result(timeout=5)
+
+
 def test_classifier_engine_answers_from_vocab():
     from sasvqa_tpu.tasks.serve import QAEngine
     vocab = {"yes": 0, "no": 1, "cat": 2}
