@@ -377,6 +377,193 @@ def _measure_host(name="host_margin", n_batches=40):
         del batch
 
 
+def _measure_hostdisk(name="hostdisk_margin", n_batches=30,
+                      scale_root=None):
+    """On-disk host-pipeline margins (VERDICT r4 #2): the same per-row
+    collate demand as ``host``, but through the REAL path — grouped
+    annotations -> VideoQADataset.get_group -> FrameStoreReader h5 row
+    reads -> collator — against full-shape 224² float32 stores on disk
+    (built once under ``scale_root``; the k=16 rows read the MSVD-scale
+    1970-video store, other stored-K rows read 400-video side stores of
+    identical row geometry).  Questions tokenize through a 30k-entry
+    WordPiece vocab (BERT scale).  Reads are page-cache warm after the
+    warmup pass — the steady-state regime of epoch training on a pod
+    host (stores ≪ host RAM); the first-epoch cold read is disk-
+    bandwidth-bound and reported separately as h5_read_ms.
+    """
+    import os
+    from sasvqa_tpu.data.annotations import (build_common_answer_dict,
+                                             group_datalist, load_datalist)
+    from sasvqa_tpu.data.dataset import (ClassifierCollator, GITCollator,
+                                         VideoQADataset)
+    from sasvqa_tpu.data.frame_store import (FrameStoreReader,
+                                             load_vidmapping)
+    from sasvqa_tpu.data.pipeline import collate_indices
+    from sasvqa_tpu.data.tokenization import make_test_wordpiece
+    from sasvqa_tpu.tools.make_scale_store import make_scale_store
+
+    scale_root = scale_root or os.environ.get("SASVQA_SCALE_DIR",
+                                              "/root/scale_store")
+    # BERT-scale vocab: the question words plus 30k filler entries so
+    # the WordPiece trie runs at its real fan-out
+    extra = ([w for w in ("what", "is", "the", "person", "man", "woman",
+                          "dog", "cat", "group", "child", "player",
+                          "car", "animal", "doing", "holding", "playing",
+                          "riding", "cooking", "singing", "throwing",
+                          "cutting", "driving", "watching", "who", "how",
+                          "where", "when")]
+             + [f"ans{i:04d}" for i in range(1800)]
+             + [f"tok{i:05d}" for i in range(28000)])
+    tok = make_test_wordpiece(extra)
+
+    def store_for(k):
+        if k == 16:
+            return make_scale_store(os.path.join(scale_root, "main"))
+        return make_scale_store(
+            os.path.join(scale_root, f"side_k{k}"), num_videos=400,
+            k=k, n_questions={"train": 2000, "val": 400, "test": 400})
+
+    rows = [
+        ("git6", lambda: GITCollator(tok, max_seq_len=32, nframe=1,
+                                     samp_policy="uniform",
+                                     pixel_dtype="bf16"), 6, 6, 94.9),
+        ("git8", lambda: GITCollator(tok, max_seq_len=32, nframe=1,
+                                     samp_policy="uniform",
+                                     pixel_dtype="bf16"), 16, 8, 61.9),
+        ("mif2", lambda: GITCollator(tok, max_seq_len=32, nframe=2,
+                                     samp_policy="question-caption",
+                                     pixel_dtype="bf16"), 16, 16, 282.9),
+        ("clip1", lambda: ClassifierCollator(tok, max_txt_len=32,
+                                             nframe=4,
+                                             samp_policy="single",
+                                             pixel_dtype="bf16"), 8, 32,
+         539.5),
+        ("vitl16", lambda: GITCollator(tok, max_seq_len=32, nframe=1,
+                                       samp_policy="uniform",
+                                       pixel_dtype="bf16"), 8, 16, 6.76),
+    ]
+    for cfg_name, mk_collator, b, k_stored, device_qa in rows:
+        paths = store_for(k_stored)
+        datalist = load_datalist("msvd_qa", paths["train"])
+        grouped = group_datalist(datalist, 1, is_train=True)
+        ans2label = build_common_answer_dict((paths["train"],), 1000)
+        ds = VideoQADataset("msvd_qa", grouped,
+                            FrameStoreReader(paths["h5"]),
+                            load_vidmapping(paths["vidmapping"]),
+                            ans2label, return_label=True, is_train=True)
+        collator = mk_collator()
+        rng = np.random.default_rng(0)
+        idxs = [rng.integers(0, len(grouped), size=b)
+                for _ in range(n_batches + 1)]
+        collate_indices(ds, collator, idxs[0],
+                        np.random.default_rng(1))  # warm cache + trie
+        t0 = time.perf_counter()
+        for i in range(1, n_batches + 1):
+            batch = collate_indices(ds, collator, idxs[i],
+                                    np.random.default_rng(i))
+        dt = (time.perf_counter() - t0) / n_batches
+        # isolated warm h5-read cost for the same row pattern
+        n_vid = ds.store.shape[0]
+        t0 = time.perf_counter()
+        for i in range(n_batches):
+            for r in range(b):
+                ds.store.read_nhwc((i * b + r) % n_vid)
+        h5_dt = (time.perf_counter() - t0) / n_batches
+        host_qa = b / dt
+        print(json.dumps({
+            "config": f"{name}_{cfg_name}", "batch": b,
+            "k_stored": k_stored,
+            "ms_per_collate_disk": round(dt * 1000, 1),
+            "h5_read_ms": round(h5_dt * 1000, 1),
+            "host_qa_pairs_per_sec_serial": round(host_qa, 1),
+            "device_demand_qa_pairs_per_sec": device_qa,
+            "host_margin_x": round(host_qa / device_qa, 2),
+        }), flush=True)
+        del batch
+        ds.store.close()
+
+
+def _measure_serve(name="serve_engine", batch_size=8, loads=(1, 8, 32),
+                   n_requests=64, nframe=6, k_stored=16,
+                   max_new_tokens=8):
+    """QAEngine latency/throughput on the real chip (VERDICT r4 #7/#8):
+    closed-loop offered loads — N client threads, each submitting its
+    next request as the previous resolves, so N requests stay in
+    flight.  Reports p50/p99 end-to-end latency and sustained qa/s per
+    load, for GIT-base at serving defaults (6 frames re-sampled from a
+    16-frame store row, 224², greedy decode).  Engine batching rides
+    linger_ms=5: at load 1 every batch is a padded single (latency
+    floor); at loads >= batch_size batches fill and amortize."""
+    import threading
+    from sasvqa_tpu.core.config import ConfigDict
+    from sasvqa_tpu.models.presets import build_model
+    from sasvqa_tpu.tasks.run_video_qa import build_tokenizer
+    from sasvqa_tpu.tasks.serve import QAEngine
+
+    cfg = ConfigDict({"model": {"pretrained_model":
+                                "microsoft/git-base-msrvtt-qa",
+                                "vocab_size": None},
+                      "img_size": 224, "num_labels": 1000,
+                      "tokenizer_dir": None, "classifier": "mlp"})
+    family, model = build_model(cfg, dtype=jnp.bfloat16)
+    tok = build_tokenizer(cfg, family)
+    ids = jnp.ones((1, 8), jnp.int32)
+    px = jnp.zeros((1, 1, 224, 224, 3))
+    params = jax.jit(model.init)(jax.random.key(0), ids,
+                                 jnp.ones_like(ids), px)
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(k_stored, 224, 224, 3)).astype(np.float32)
+    questions = [f"what is the person doing in clip {i}"
+                 for i in range(n_requests)]
+
+    eng = QAEngine(model, params, family, tok, ans2label={"yes": 0},
+                   nframe=nframe, samp_policy="uniform",
+                   batch_size=batch_size, linger_ms=5.0,
+                   max_txt_len=20, max_text_len=16 + max_new_tokens)
+    try:
+        eng.answer(frames, "warmup question", timeout=600)  # compile
+        eng.stats.update(requests=0, batches=0, batch_rows=0)
+        for load in loads:
+            lat = []
+            lock = threading.Lock()
+            cursor = {"i": 0}
+
+            def client():
+                while True:
+                    with lock:
+                        i = cursor["i"]
+                        if i >= n_requests:
+                            return
+                        cursor["i"] = i + 1
+                    t0 = time.perf_counter()
+                    eng.answer(frames, questions[i], timeout=600)
+                    with lock:
+                        lat.append(time.perf_counter() - t0)
+
+            t0 = time.perf_counter()
+            threads = [threading.Thread(target=client)
+                       for _ in range(load)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            lat_ms = np.sort(np.asarray(lat)) * 1000
+            print(json.dumps({
+                "config": f"{name}_load{load}", "batch_size": batch_size,
+                "concurrent": load, "requests": n_requests,
+                "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+                "p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+                "qa_per_s": round(n_requests / wall, 2),
+                "batches": eng.stats["batches"],
+                "fill": round(eng.stats["requests"]
+                              / max(eng.stats["batch_rows"], 1), 2),
+            }), flush=True)
+            eng.stats.update(requests=0, batches=0, batch_rows=0)
+    finally:
+        eng.close()
+
+
 ROWS = {
     "git6": lambda: _measure("git6_msvd_base", _git_model(), 6, 6, 32),
     "git8": lambda: _measure("git8_flagship", _git_model(), 16, 8, 32),
@@ -393,6 +580,8 @@ ROWS = {
     "clip1m": lambda: _measure("clip1_bf16_moments", _clip_model(), 8, 1,
                                32, classifier=True, moment_dtype="bf16"),
     "host": _measure_host,
+    "hostdisk": _measure_hostdisk,
+    "serve": _measure_serve,
     "accum": _measure_accum,
     "clip1a": lambda: _measure_accum("clip1_accum4", batch=8, frames=1,
                                      k=4, calls=8, family="classifier"),

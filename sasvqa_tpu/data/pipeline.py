@@ -76,10 +76,10 @@ def eval_batch_plan(n: int, global_bs: int):
     samples, each index list tiled (np.resize) to EXACTLY ``global_bs``
     rows.  Constant shapes mean the eval step compiles once; tiled
     padding rows sit at the END so consumers drop them by slicing the
-    first n_real outputs.  Each process evaluates rows
-    ``[pi*global_bs/pc, (pi+1)*global_bs/pc)`` of every batch —
-    contiguous blocks, matching the process-ordered device layout
-    shard_batch assembles global arrays with."""
+    first n_real outputs.  Each process evaluates the rows of every
+    batch that its devices address (``host_batch_positions`` — the
+    contiguous block ``[pi*global_bs/pc, ...)`` on data-axis-aligned
+    meshes, replica rows when hosts straddle a non-data axis)."""
     assert global_bs >= 1
     for start in range(0, n, global_bs):
         idx = np.arange(start, min(start + global_bs, n))
@@ -170,22 +170,35 @@ def epoch_batches(dataset, collator, batch_size: int, shuffle: bool,
                   process_index: Optional[int] = None,
                   process_count: Optional[int] = None,
                   pool: Optional[CollatorPool] = None,
+                  host_positions: Optional[np.ndarray] = None,
+                  global_batch: Optional[int] = None,
                   ) -> Iterator[Dict[str, Any]]:
     """One epoch of collated host batches.
 
-    Multi-host: every host computes the same epoch permutation (same
-    seeded rng) and takes its disjoint ``shard_for_host`` slice, then
-    batches locally — ``batch_size`` is the PER-HOST batch size.  This
-    replaces the reference's DistributedSampler pattern
+    Multi-host, general form (``host_positions`` + ``global_batch``):
+    every host computes the same epoch permutation (same seeded rng)
+    and walks it in GLOBAL batches of ``global_batch`` samples; each
+    host collates the rows of every global batch that its devices
+    address (``parallel.mesh.host_batch_positions``).  Hosts aligned
+    with the data axis get disjoint contiguous blocks; hosts that
+    straddle a non-data mesh axis are replicas and collate identical
+    rows with an identical rng — bitwise-equal local shards, as
+    ``jax.make_array_from_process_local_data`` requires.  This replaces
+    the reference's DistributedSampler pattern
     (run_video_retrieval.py:109-111).
+
+    Legacy multi-host form (``process_index``/``process_count`` only):
+    the per-host disjoint stride split of the permutation — equivalent
+    to the general form for data-axis-aligned hosts up to within-batch
+    order, kept for callers without a mesh.
 
     rng discipline: exactly TWO draws are consumed from ``rng`` per
     epoch (a permutation seed and a collation seed), regardless of
-    shard size, batch count, or sampling policy — so hosts whose shards
-    differ in size stay permutation-synchronized across epochs.  Each
-    batch collates with its own derived generator
-    ``default_rng((collate_seed, process_index, batch_idx))``, making
-    the serial and pooled paths bitwise identical.
+    shard size, batch count, or sampling policy — so hosts stay
+    permutation-synchronized across epochs.  Each batch collates with
+    its own derived generator (seeded by batch index — and, in the
+    legacy form, process index), making the serial and pooled paths
+    bitwise identical.
     """
     pc = process_count
     if pc is None:
@@ -205,16 +218,35 @@ def epoch_batches(dataset, collator, batch_size: int, shuffle: bool,
         order = np.arange(len(dataset))
     collate_seed = (int(rng.integers(0, 2 ** 63))
                     if rng is not None else 0)
-    if pc > 1:
-        order = shard_for_host(order, pi, pc)
-    if drop_last and len(order) < batch_size:
-        raise ValueError(
-            f"per-host shard of {len(order)} samples yields zero "
-            f"drop_last batches of size {batch_size} — training would "
-            f"spin forever; shrink the batch or the host count")
-    batches = batch_indices(len(order), batch_size, False, None,
-                            drop_last=drop_last, order=order)
-    seeds = [(collate_seed, pi, b) for b in range(len(batches))]
+    if host_positions is not None:
+        # general multi-host path: walk the permutation in global
+        # batches; this host loads its addressable rows of each
+        gb = int(global_batch)
+        n_steps = (len(order) // gb if drop_last
+                   else -(-len(order) // gb))
+        if n_steps == 0:
+            raise ValueError(
+                f"{len(order)} samples yield zero drop_last global "
+                f"batches of {gb} — training would spin forever; "
+                "shrink the batch")
+        if n_steps * gb > len(order):
+            order = np.resize(order, n_steps * gb)
+        pos = np.asarray(host_positions)
+        batches = [order[t * gb + pos] for t in range(n_steps)]
+        # seed excludes the process index: replica hosts must collate
+        # bitwise-identically
+        seeds = [(collate_seed, b) for b in range(len(batches))]
+    else:
+        if pc > 1:
+            order = shard_for_host(order, pi, pc)
+        if drop_last and len(order) < batch_size:
+            raise ValueError(
+                f"per-host shard of {len(order)} samples yields zero "
+                f"drop_last batches of size {batch_size} — training "
+                "would spin forever; shrink the batch or the host count")
+        batches = batch_indices(len(order), batch_size, False, None,
+                                drop_last=drop_last, order=order)
+        seeds = [(collate_seed, pi, b) for b in range(len(batches))]
     if pool is None:
         for idx, seed in zip(batches, seeds):
             yield collate_indices(dataset, collator, idx,
@@ -229,6 +261,8 @@ def infinite_batches(dataset, collator, batch_size: int,
                      process_index: Optional[int] = None,
                      process_count: Optional[int] = None,
                      pool: Optional[CollatorPool] = None,
+                     host_positions: Optional[np.ndarray] = None,
+                     global_batch: Optional[int] = None,
                      ) -> Iterator[Dict[str, Any]]:
     """InfiniteIterator equivalent (dataloader.py:147-160): reshuffles
     each epoch, never raises StopIteration."""
@@ -236,7 +270,9 @@ def infinite_batches(dataset, collator, batch_size: int,
         yield from epoch_batches(dataset, collator, batch_size,
                                  shuffle=True, rng=rng, drop_last=drop_last,
                                  process_index=process_index,
-                                 process_count=process_count, pool=pool)
+                                 process_count=process_count, pool=pool,
+                                 host_positions=host_positions,
+                                 global_batch=global_batch)
 
 
 def stack_microbatches(it: Iterator[Dict[str, Any]], k: int,

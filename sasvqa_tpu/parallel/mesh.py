@@ -52,6 +52,60 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def host_batch_positions(mesh: Mesh, global_rows: int,
+                         process_index: Optional[int] = None) -> np.ndarray:
+    """Sorted row positions of a P('data')-sharded global batch that
+    THIS process must supply (the general multi-host input assignment).
+
+    ``jax.make_array_from_process_local_data`` maps each process's
+    local rows positionally onto its sorted addressable indices, and
+    requires replica processes to supply identical data.  Deriving the
+    positions from the sharding itself makes input loading correct for
+    ANY host/mesh-axis alignment:
+
+    - hosts aligned with the data axis (the common pod layout: model/
+      fsdp axes inside a host) reduce to the contiguous block
+      ``[pi*rows, (pi+1)*rows)`` — the behavior the old stride split
+      produced up to within-batch order;
+    - hosts that straddle a non-data axis (e.g. 1 chip/host on a
+      (data=2, fsdp=2) mesh) become REPLICAS: both supply the same
+      rows, which the caller must fill with the same samples.
+
+    Raises on meshes where two processes' row sets partially overlap
+    (only constructible with exotic device orders): per-row sample
+    content would be well-defined, but batch-seeded collator RNG could
+    not be made consistent between the overlapping hosts.
+    """
+    import jax
+    pi = jax.process_index() if process_index is None else process_index
+    idx_map = batch_sharding(mesh).devices_indices_map((global_rows,))
+    per_proc: dict = {}
+    for dev, idx in idx_map.items():
+        sl = idx[0]
+        span = (sl.start or 0,
+                global_rows if sl.stop is None else sl.stop)
+        per_proc.setdefault(dev.process_index, set()).add(span)
+
+    def rows(spans):
+        return np.unique(np.concatenate(
+            [np.arange(a, b) for a, b in sorted(spans)]))
+
+    mine = rows(per_proc[pi])
+    mine_set = set(mine.tolist())
+    for other_pi, spans in per_proc.items():
+        if other_pi == pi:
+            continue
+        other = set(rows(spans).tolist())
+        inter = mine_set & other
+        if inter and not (inter == mine_set == other):
+            raise ValueError(
+                f"processes {pi} and {other_pi} address partially "
+                "overlapping batch rows under this mesh; reorder the "
+                "mesh axes so hosts are replicas or disjoint on the "
+                "data axis")
+    return mine
+
+
 def shard_batch(batch: Any, mesh: Mesh, micro_axis: bool = False) -> Any:
     """device_put a host batch pytree with the batch axis sharded on
     ``data``.  Non-array leaves pass through.

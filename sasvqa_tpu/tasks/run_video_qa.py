@@ -144,7 +144,14 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
     # the per-host split too (hosts hold equal device counts)
     global_bs = -(-max(eval_bs, n_dev) // n_dev) * n_dev
     assert global_bs % pc == 0, (global_bs, pc)
-    rows = global_bs // pc
+    if pc > 1:
+        # this host's rows of every global eval batch, from the batch
+        # sharding itself (replica rows when hosts straddle a non-data
+        # mesh axis; disjoint contiguous blocks otherwise)
+        from sasvqa_tpu.parallel.mesh import host_batch_positions
+        eval_positions = host_batch_positions(mesh, global_bs)
+    else:
+        eval_positions = np.arange(global_bs)
     # deterministic eval-time frame sampling: 'random'-policy draws are
     # seeded per (group, clip) — NOT one sequential stream — so a row's
     # frames depend only on its own identity.  Eval scores are therefore
@@ -193,7 +200,7 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
                  for e in dataset.datalist[int(i)][1]]
         n_real = sum(len(dataset.datalist[int(i)][1])
                      for i in idx_p[:n_real_groups])
-        local_idx = idx_p[pi * rows:(pi + 1) * rows]
+        local_idx = idx_p[eval_positions]
         # one HDF5 read per video for ALL clips — and one get_group
         # outcome: its random-substitution-on-error would otherwise
         # pick DIFFERENT videos per clip
@@ -633,11 +640,20 @@ def start_training(cfg) -> Dict[str, Any]:
                 total_preds += int(vals["acc_total"])
         pending.clear()
 
-    # per-host batch: the global batch (B x all devices) split across
-    # hosts; epoch_batches gives each host a disjoint sample slice and
+    # per-host rows: the global batch (B x all devices) assigned to
+    # hosts from the batch sharding itself (host_batch_positions) —
+    # data-axis-aligned hosts get disjoint blocks, hosts straddling a
+    # non-data mesh axis collate identical replica rows, and
     # shard_batch assembles the global array from the local shards
     n_hosts = jax.process_count()
-    per_host_batch = max(cfg.train_batch_size * n_dev // n_hosts, 1)
+    global_batch = cfg.train_batch_size * n_dev
+    host_positions = None
+    if n_hosts > 1:
+        from sasvqa_tpu.parallel.mesh import host_batch_positions
+        host_positions = host_batch_positions(mesh, global_batch)
+        per_host_batch = len(host_positions)
+    else:
+        per_host_batch = global_batch
     n_workers = int(cfg.get("n_workers", 0) or 0)
     pool = prefetch = None
     if cfg.num_train_steps > 0:
@@ -647,7 +663,9 @@ def start_training(cfg) -> Dict[str, Any]:
             from sasvqa_tpu.data.pipeline import CollatorPool
             pool = CollatorPool(train_ds, collator, n_workers)
         source = infinite_batches(train_ds, collator, per_host_batch,
-                                  host_rng, pool=pool)
+                                  host_rng, pool=pool,
+                                  host_positions=host_positions,
+                                  global_batch=global_batch)
         if use_scan:
             from sasvqa_tpu.data.pipeline import stack_microbatches
             source = stack_microbatches(source, accum)

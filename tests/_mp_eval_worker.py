@@ -6,6 +6,13 @@ tasks/run_video_qa.validate over a synthetic split, dumping its scores
 and per-question answers to a JSON file.  Usage:
 
     python _mp_eval_worker.py <process_id> <data_dir> <out_json> <port>
+
+Environment overrides (defaults preserve the original 2x2 data-mesh):
+    MP_NUM_PROCESSES  processes (default 2)
+    MP_DEVS_PER_PROC  virtual CPU devices per process (default 2)
+    MP_MESH_SHAPE     comma ints, e.g. "2,2" (default: all-devices data)
+    MP_MESH_AXES      comma names, e.g. "data,fsdp"
+    MP_VAL_BS         val/inference batch size (default 4)
 """
 
 import json
@@ -16,12 +23,15 @@ import sys
 def main():
     pid, data_dir, out_json, port = (int(sys.argv[1]), sys.argv[2],
                                      sys.argv[3], sys.argv[4])
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    n_proc = int(os.environ.get("MP_NUM_PROCESSES", "2"))
+    n_dev = int(os.environ.get("MP_DEVS_PER_PROC", "2"))
+    os.environ["XLA_FLAGS"] = \
+        f"--xla_force_host_platform_device_count={n_dev}"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                               num_processes=2, process_id=pid)
+                               num_processes=n_proc, process_id=pid)
 
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -46,9 +56,10 @@ def main():
                         load_vidmapping(paths["vidmapping"]), ans2label,
                         return_label=True, is_train=False)
 
+    val_bs = int(os.environ.get("MP_VAL_BS", "4"))
     cfg = ConfigDict(task="msvd_qa", seed=0, debug=False,
-                 img_size=32,
-                     val_batch_size=4, inference_batch_size=4,
+                     img_size=32,
+                     val_batch_size=val_bs, inference_batch_size=val_bs,
                      do_inference=0, max_txt_len=12, nframe=2,
                      samp_policy="random",
                      model=ConfigDict(pretrained_model="tiny-clip",
@@ -61,7 +72,13 @@ def main():
     collator = ClassifierCollator(tok, max_txt_len=12, nframe=2,
                                   samp_policy="random")
 
-    mesh = make_mesh()                      # 4 global devices, data axis
+    mesh_shape = os.environ.get("MP_MESH_SHAPE")
+    mesh_axes = os.environ.get("MP_MESH_AXES")
+    if mesh_shape:
+        mesh = make_mesh(shape=[int(x) for x in mesh_shape.split(",")],
+                         axes=mesh_axes.split(",") if mesh_axes else None)
+    else:
+        mesh = make_mesh()                  # all global devices, data axis
     import jax.numpy as jnp
     probe = collator([ds.get_group(0)], rng=np.random.default_rng(0))
     params = jax.jit(model.init)(

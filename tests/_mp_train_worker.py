@@ -7,6 +7,10 @@ checkpointing and validation included — into a SHARED output_dir,
 dumping the returned result dict to JSON.  Usage:
 
     python _mp_train_worker.py <pid> <cfg_json> <out_json> <port> [cli...]
+
+Environment overrides (defaults preserve the original 2x2 topology):
+    MP_NUM_PROCESSES  number of jax.distributed processes (default 2)
+    MP_DEVS_PER_PROC  virtual CPU devices per process (default 2)
 """
 
 import json
@@ -18,12 +22,15 @@ def main():
     pid, cfg_path, out_json, port = (int(sys.argv[1]), sys.argv[2],
                                      sys.argv[3], sys.argv[4])
     extra = sys.argv[5:]
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    n_proc = int(os.environ.get("MP_NUM_PROCESSES", "2"))
+    n_dev = int(os.environ.get("MP_DEVS_PER_PROC", "2"))
+    os.environ["XLA_FLAGS"] = \
+        f"--xla_force_host_platform_device_count={n_dev}"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                               num_processes=2, process_id=pid)
+                               num_processes=n_proc, process_id=pid)
     # establish the gloo clique over all 4 devices NOW, while both
     # processes are still in lockstep: the clique context is cached and
     # reused by every later executable.  Without this, the first

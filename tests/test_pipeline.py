@@ -105,6 +105,53 @@ def test_epoch_batches_hosts_stay_synced_across_epochs():
     assert len(set(per_host_epoch2[0]) & set(per_host_epoch2[1])) <= 1
 
 
+def test_epoch_batches_general_positions():
+    """General multi-host form (host_positions + global_batch):
+    data-aligned hosts get disjoint contiguous blocks of the SAME
+    global batch; replica hosts (straddling a non-data mesh axis) get
+    bitwise-identical batches INCLUDING the collate rng draws."""
+    from sasvqa_tpu.data.pipeline import epoch_batches
+    ds = _IdxDataset(17)
+
+    def run(pos):
+        rng = np.random.default_rng(5)
+        return list(epoch_batches(ds, _idx_collator, len(pos),
+                                  shuffle=True, rng=rng, drop_last=True,
+                                  host_positions=np.asarray(pos),
+                                  global_batch=8))
+
+    # aligned: hosts 0/1 take blocks [0,4) and [4,8) of each global batch
+    h0, h1 = run([0, 1, 2, 3]), run([4, 5, 6, 7])
+    assert len(h0) == len(h1) == 2                     # 17 // 8
+    full = run(list(range(8)))                         # 1-host reference
+    for b0, b1, bf in zip(h0, h1, full):
+        np.testing.assert_array_equal(np.concatenate([b0["idx"],
+                                                      b1["idx"]]),
+                                      bf["idx"])
+    # replicas: two hosts with identical positions collate identically,
+    # jitter (rng draw) included — make_array_from_process_local_data
+    # requires replica shards to be bitwise equal
+    r0, r1 = run([0, 1, 2, 3]), run([0, 1, 2, 3])
+    for a, b in zip(r0, r1):
+        np.testing.assert_array_equal(a["idx"], b["idx"])
+        np.testing.assert_array_equal(a["jitter"], b["jitter"])
+
+
+def test_host_batch_positions_single_process_and_guard():
+    """host_batch_positions: single-process meshes address every row
+    regardless of axes; the partial-overlap guard is exercised by the
+    4-process integration tests (all devices here share process 0)."""
+    import jax
+    from sasvqa_tpu.parallel.mesh import host_batch_positions, make_mesh
+    devs = jax.devices("cpu")[:4]
+    for shape, axes in (((4,), ("data",)),
+                        ((2, 2), ("data", "fsdp")),
+                        ((2, 2), ("data", "model"))):
+        mesh = make_mesh(devs, shape, axes)
+        np.testing.assert_array_equal(
+            host_batch_positions(mesh, 8, process_index=0), np.arange(8))
+
+
 def test_epoch_batches_worker_pool_matches_serial_and_is_deterministic():
     from sasvqa_tpu.data.pipeline import CollatorPool, epoch_batches
     ds = _IdxDataset(17)
