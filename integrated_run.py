@@ -39,6 +39,10 @@ def main(argv=None):
                    help="force cpu for a smoke run")
     p.add_argument("--train_q", type=int, default=30933)
     p.add_argument("--val_q", type=int, default=6415)
+    p.add_argument("--num_videos", type=int, default=1970)
+    p.add_argument("--store_name", default="main_k6",
+                   help="sub-dir under --root (use a different name for "
+                        "smoke shapes; the store is manifest-cached)")
     args = p.parse_args(argv)
 
     if args.platform == "cpu":
@@ -49,7 +53,8 @@ def main(argv=None):
     # msvd_qa_base trains 6-frame GIT (img_len 6): stage-A K=6 store at
     # full MSVD video count
     paths = make_scale_store(
-        os.path.join(args.root, "main_k6"), num_videos=1970, k=6,
+        os.path.join(args.root, args.store_name),
+        num_videos=args.num_videos, k=6,
         n_questions={"train": args.train_q, "val": args.val_q,
                      "test": args.val_q})
 

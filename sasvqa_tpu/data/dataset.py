@@ -46,7 +46,8 @@ class VideoQADataset:
                  vid2id: Dict[str, int],
                  ans2label: Dict[str, int],
                  return_label: bool = True,
-                 is_train: bool = True):
+                 is_train: bool = True,
+                 lazy_frames: bool = True):
         self.task_type = task_type
         self.datalist = grouped_datalist
         self.store = frame_store
@@ -54,6 +55,15 @@ class VideoQADataset:
         self.ans2label = ans2label
         self.return_label = return_label
         self.is_train = is_train
+        # lazy_frames: hand collators a LazyVideoFrames handle so only
+        # the policy-selected frames are read from the store (the
+        # reference eagerly reads all K, dataset_base.py:104 — up to
+        # K/nframe x the IO).  The row is bounds-checked HERE so the
+        # substitution/fail-fast semantics below keep their trigger
+        # point; an OSError on the deferred read (corrupt row bytes, as
+        # opposed to a missing/misaligned store, which shape-checking
+        # catches eagerly) surfaces at collate time instead.
+        self.lazy_frames = lazy_frames
         self.open_ended = task_type in ("frameqa", "msrvtt_qa", "msvd_qa")
         self.qid2data = {d["question_id"]: d
                          for _, group in grouped_datalist for d in group}
@@ -68,7 +78,16 @@ class VideoQADataset:
         resample actually happens, bounded by ``_retries``)."""
         vid, examples = self.datalist[index]
         try:
-            frames = self.store.read_nhwc(self.vid2id[vid])  # (K, H, W, 3)
+            row = self.vid2id[vid]
+            if self.lazy_frames:
+                from sasvqa_tpu.data.frame_store import LazyVideoFrames
+                if not 0 <= int(row) < self.store.shape[0]:
+                    raise IndexError(
+                        f"vidmapping row {row} outside store "
+                        f"{self.store.shape}")
+                frames = LazyVideoFrames(self.store, row)
+            else:
+                frames = self.store.read_nhwc(row)  # (K, H, W, 3)
         except (KeyError, IndexError, OSError) as e:
             # IndexError: h5py's out-of-range row error for a stale
             # vidmapping pointing past the store (r3 review finding)

@@ -110,6 +110,43 @@ def test_frame_store_roundtrip(synth):
     np.testing.assert_allclose(frames, chw.transpose(0, 2, 3, 1))
 
 
+def test_frame_store_partial_reads_match_eager(synth):
+    """read_frames_nhwc reads only the selected frames; unsorted and
+    duplicate indices (MIF importance order, repeat padding) must
+    gather exactly like fancy-indexing the eager row."""
+    reader = FrameStoreReader(synth["h5"])
+    eager = reader.read_nhwc(1)
+    for inds in ([3], [7, 0, 4], [2, 2, 5, 2], list(range(8)),
+                 [6, 1, 6, 1]):
+        np.testing.assert_array_equal(
+            reader.read_frames_nhwc(1, np.asarray(inds)), eager[inds])
+
+
+def test_lazy_frames_collate_matches_eager(synth):
+    """lazy_frames=True (default) must produce bitwise-identical batches
+    to an eager dataset under every sampling policy — only the IO
+    changes (policy-selected frames instead of all K,
+    dataset_base.py:104)."""
+    from sasvqa_tpu.data.frame_store import LazyVideoFrames
+    tok = make_test_wordpiece()
+    lazy = _make_dataset(synth)
+    eager = _make_dataset(synth, lazy_frames=False)
+    g = lazy.get_group(0)
+    assert isinstance(g["vid"], LazyVideoFrames)
+    assert g["vid"].shape == (8, 16, 16, 3)
+    for policy, nframe in (("uniform", 2), ("random", 3), ("single", 1),
+                           ("question-caption", 2), ("importance", 2)):
+        col = ClassifierCollator(tok, max_txt_len=12, nframe=nframe,
+                                 samp_policy=policy)
+        bl = col([lazy.get_group(i) for i in range(3)],
+                 rng=np.random.default_rng(7))
+        be = col([eager.get_group(i) for i in range(3)],
+                 rng=np.random.default_rng(7))
+        for k in bl:
+            if isinstance(bl[k], np.ndarray):
+                np.testing.assert_array_equal(bl[k], be[k], err_msg=k)
+
+
 def test_frame_store_reader_picklable_with_open_handle(synth):
     """Spawn-started CollatorPool workers receive the dataset by pickle;
     the reader must survive pickling even after its handle is open."""
@@ -121,7 +158,7 @@ def test_frame_store_reader_picklable_with_open_handle(synth):
 
 
 def _make_dataset(synth, is_train=True, vid2id=None,
-                  with_sampled_inds=True):
+                  with_sampled_inds=True, lazy_frames=True):
     dl = load_datalist("msvd_qa", synth["train"])
     if not with_sampled_inds:
         for d in dl:
@@ -131,7 +168,8 @@ def _make_dataset(synth, is_train=True, vid2id=None,
     if vid2id is None:
         vid2id = load_vidmapping(synth["vidmapping"])
     return VideoQADataset("msvd_qa", groups, FrameStoreReader(synth["h5"]),
-                          vid2id, ans2label, is_train=is_train)
+                          vid2id, ans2label, is_train=is_train,
+                          lazy_frames=lazy_frames)
 
 
 def test_classifier_collator_shapes(synth):
