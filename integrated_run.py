@@ -43,6 +43,11 @@ def main(argv=None):
     p.add_argument("--store_name", default="main_k6",
                    help="sub-dir under --root (use a different name for "
                         "smoke shapes; the store is manifest-cached)")
+    p.add_argument("--val_limit", type=int, default=0,
+                   help="evaluate only the first N val/test QA pairs "
+                        "(0 = all).  Bounds eval wall time in the "
+                        "sandbox, where eval is tunnel-H2D-bound at "
+                        "~5-8 qa/s; the store itself stays full-size")
     args = p.parse_args(argv)
 
     if args.platform == "cpu":
@@ -57,6 +62,16 @@ def main(argv=None):
         num_videos=args.num_videos, k=6,
         n_questions={"train": args.train_q, "val": args.val_q,
                      "test": args.val_q})
+
+    os.makedirs(args.out, exist_ok=True)
+    if args.val_limit:
+        for split in ("val", "test"):
+            with open(paths[split]) as f:
+                anno = json.load(f)
+            cut = os.path.join(args.out, f"qa_{split}_limit.json")
+            with open(cut, "w") as f:
+                json.dump(anno[:args.val_limit], f)
+            paths[split] = cut
 
     with open("configs/msvd_qa_base.json") as f:
         cfg = json.load(f)
@@ -80,7 +95,6 @@ def main(argv=None):
     cfg["model"].pop("pretrained_weights", None)  # no weights offline
     if args.platform:
         cfg["platform"] = args.platform
-    os.makedirs(args.out, exist_ok=True)
     cfg_path = os.path.join(args.out, "cfg.json")
     with open(cfg_path, "w") as f:
         json.dump(cfg, f, indent=1)
