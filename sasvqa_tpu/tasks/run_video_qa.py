@@ -359,6 +359,15 @@ def start_training(cfg) -> Dict[str, Any]:
 
     train_ds, val_ds, test_ds = setup_datasets(cfg, ans2label)
 
+    if cfg.get("platform") == "cpu":
+        # --platform cpu must also move the DEFAULT device: the mesh
+        # alone only places mesh-sharded arrays, and any stray
+        # non-mesh op would otherwise run on an attached accelerator
+        # (the axon TPU plugin ignores JAX_PLATFORMS=cpu, so in-process
+        # forcing is the only reliable switch — CLAUDE.md hazard;
+        # previously only tests/conftest.py and integrated_run.py did
+        # this, so the CLI flag alone mixed backends)
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
     mesh = make_mesh(shape=cfg.get("mesh_shape"), axes=cfg.get("mesh_axes"),
                      platform=cfg.get("platform"))
     n_dev = mesh.devices.size
