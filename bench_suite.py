@@ -485,7 +485,7 @@ def _measure_hostdisk(name="hostdisk_margin", n_batches=30,
 
 def _measure_serve(name="serve_engine", batch_size=8, loads=(1, 8, 32),
                    n_requests=64, nframe=6, k_stored=16,
-                   max_new_tokens=8):
+                   max_new_tokens=8, pixel_dtype="f32"):
     """QAEngine latency/throughput on the real chip (VERDICT r4 #7/#8):
     closed-loop offered loads — N client threads, each submitting its
     next request as the previous resolves, so N requests stay in
@@ -519,7 +519,8 @@ def _measure_serve(name="serve_engine", batch_size=8, loads=(1, 8, 32),
     eng = QAEngine(model, params, family, tok, ans2label={"yes": 0},
                    nframe=nframe, samp_policy="uniform",
                    batch_size=batch_size, linger_ms=5.0,
-                   max_txt_len=20, max_text_len=16 + max_new_tokens)
+                   max_txt_len=20, max_text_len=16 + max_new_tokens,
+                   pixel_dtype=pixel_dtype)
     try:
         eng.answer(frames, "warmup question", timeout=600)  # compile
         eng.stats.update(requests=0, batches=0, batch_rows=0)
@@ -582,6 +583,10 @@ ROWS = {
     "host": _measure_host,
     "hostdisk": _measure_hostdisk,
     "serve": _measure_serve,
+    # u8 pixel wire format (core/pixels.py): quarters the per-request
+    # H2D bytes — serving is ~85% pixel staging on H2D-bound hosts
+    "serveu8": lambda: _measure_serve(name="serve_engine_u8",
+                                      pixel_dtype="u8"),
     "accum": _measure_accum,
     "clip1a": lambda: _measure_accum("clip1_accum4", batch=8, frames=1,
                                      k=4, calls=8, family="classifier"),

@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--store_name", default="main_k6",
                    help="sub-dir under --root (use a different name for "
                         "smoke shapes; the store is manifest-cached)")
+    p.add_argument("--stage_pixels_u8", type=int, default=0,
+                   choices=[0, 1],
+                   help="stage pixels as uint8 (core/pixels.py wire "
+                        "format): halves the H2D bytes vs the bf16 "
+                        "default — the dominant cost of a tunnel-bound "
+                        "integrated step")
     p.add_argument("--val_limit", type=int, default=0,
                    help="evaluate only the first N val/test QA pairs "
                         "(0 = all).  Bounds eval wall time in the "
@@ -91,6 +97,7 @@ def main(argv=None):
         "num_valid": 2,            # one in-loop validation + the final
         "output_dir": os.path.join(args.out, "run"),
         "zero_eval": 0,
+        "stage_pixels_u8": args.stage_pixels_u8,
     })
     cfg["model"].pop("pretrained_weights", None)  # no weights offline
     if args.platform:

@@ -148,6 +148,14 @@ def build_shared_parser(desc: str = "sasvqa_tpu shared config") -> argparse.Argu
                         "activations are bf16 (halves the dominant "
                         "transfer; the first conv casts to bf16 anyway). "
                         "0 keeps f32 staging.")
+    p.add_argument("--stage_pixels_u8", type=int, default=0,
+                   choices=[0, 1],
+                   help="stage pixel batches as uint8 by inverting the "
+                        "store's normalize affine (core/pixels.py): "
+                        "half bf16's bytes, a quarter of f32's, "
+                        "LOSSLESS for stage-A stores (the frames came "
+                        "from the uint8 grid); models dequantize "
+                        "in-jit.  Overrides --stage_pixels_bf16.")
     p.add_argument("--accum_grad_mean", type=int, default=1, choices=[0, 1],
                    help="1 (default): average gradients over the "
                         "accumulation window. 0: SUM them — the "

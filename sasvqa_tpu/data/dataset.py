@@ -30,11 +30,14 @@ from sasvqa_tpu.sampling import policies
 # Host->device pixel staging dtype.  bf16 halves the staged bytes of
 # the dominant batch leaf (flagship: ~77 MB/step f32 -> ~39 MB) with no
 # numeric cost when activations compute in bf16 — the model's first
-# conv casts its input to bf16 either way.  The reference's equivalent
-# trick was uint8 staging + on-GPU ImageNorm
-# (src/datasets/dataloader.py:131-139); uint8 isn't available here
-# because the frame store holds already-normalized floats.
-PIXEL_DTYPES = {"bf16": ml_dtypes.bfloat16, "f32": np.float32}
+# conv casts its input to bf16 either way.  "u8" halves them AGAIN by
+# inverting the store's normalize affine back to the uint8 grid the
+# frames came from (core/pixels.py: lossless for stage-A stores,
+# <= half-a-u8-step error off-grid); the model wrappers dequantize
+# in-jit.  This is the reference's own wire format — uint8 staging +
+# on-GPU ImageNorm (src/datasets/dataloader.py:131-139).
+PIXEL_DTYPES = {"bf16": ml_dtypes.bfloat16, "f32": np.float32,
+                "u8": np.uint8}
 
 
 class VideoQADataset:
@@ -161,9 +164,17 @@ def _resample_frames(items: List[Dict[str, Any]], policy: str, nframe: int,
                                    sampled_inds=sampled_inds, batch_size=b)
     frame_shape = items[0]["vid"].shape[1:]
     out = np.empty((b, inds.shape[1]) + frame_shape, dtype=out_dtype)
-    for i, d in enumerate(items):
-        # fancy-index gather + dtype cast fused into the assignment
-        out[i] = d["vid"][inds[i]]
+    if out_dtype == np.uint8:
+        # u8 wire format: invert the store's normalize affine per
+        # selected frame (core/pixels.quantize_u8) — a plain cast-assign
+        # would truncate floats
+        from sasvqa_tpu.core.pixels import quantize_u8
+        for i, d in enumerate(items):
+            out[i] = quantize_u8(d["vid"][inds[i]])
+    else:
+        for i, d in enumerate(items):
+            # fancy-index gather + dtype cast fused into the assignment
+            out[i] = d["vid"][inds[i]]
     return out
 
 
@@ -340,9 +351,13 @@ class GITCollator:
 
 
 def pixel_dtype_for(cfg) -> str:
-    """'bf16' when activations compute in bf16 and --stage_pixels_bf16
-    (default on): pixels cross host->device at half the bytes; the
-    model's first conv would cast them to bf16 anyway."""
+    """'u8' when --stage_pixels_u8 (opt-in: quarter of f32's staged
+    bytes, lossless on stage-A stores — core/pixels.py); else 'bf16'
+    when activations compute in bf16 and --stage_pixels_bf16 (default
+    on): pixels cross host->device at half the bytes; the model's first
+    conv would cast them to bf16 anyway."""
+    if cfg.get("stage_pixels_u8", 0):
+        return "u8"
     if cfg.get("bf16", True) and cfg.get("stage_pixels_bf16", 1):
         return "bf16"
     return "f32"

@@ -262,8 +262,12 @@ class GITForCausalLM(nn.Module):
         """(B, T, H, W, C) -> projected visual prefix (B, T*P, D).
 
         Batched equivalent of the reference per-frame loop with temporal
-        embeddings disabled (modeling.py:81-95).
+        embeddings disabled (modeling.py:81-95).  Accepts u8-staged
+        pixels (core/pixels wire format) — dequant fuses into the patch
+        conv input.
         """
+        from sasvqa_tpu.core.pixels import maybe_dequantize
+        pixel_values = maybe_dequantize(pixel_values, self.dtype)
         b, t = pixel_values.shape[:2]
         flat = pixel_values.reshape((b * t,) + pixel_values.shape[2:])
         feats, _, _ = self.image_encoder(flat)          # (B*T, P, Dv)

@@ -24,6 +24,7 @@ from sasvqa_tpu.models.blip import (BLIPTextConfig, BLIPTextEncoder,
                                     BLIPVisionConfig, BLIPVisionEncoder)
 from sasvqa_tpu.models.clip import (CLIPTextConfig, CLIPTextEncoder,
                                     CLIPVisionConfig, CLIPVisionEncoder)
+from sasvqa_tpu.core.pixels import maybe_dequantize
 from sasvqa_tpu.models.fusion import AnswerClassifier
 
 
@@ -81,7 +82,11 @@ class CLIPVideoQA(nn.Module):
             dtype=self.dtype)
 
     def encode_video(self, pixel_values: jax.Array) -> jax.Array:
-        """(B, T, H, W, C) -> per-frame embeddings (B, T, proj)."""
+        """(B, T, H, W, C) -> per-frame embeddings (B, T, proj).
+
+        Accepts u8-staged pixels (core/pixels wire format) — the
+        dequant affine fuses into the patch-embedding conv input."""
+        pixel_values = maybe_dequantize(pixel_values, self.dtype)
         b, t = pixel_values.shape[:2]
         flat = pixel_values.reshape((b * t,) + pixel_values.shape[2:])
         _, _, image_embeds = self.vis_model(flat)        # (B*T, proj)
@@ -166,6 +171,7 @@ class BLIPVideoQA(nn.Module):
 
     def _encode(self, pixel_values, input_ids, attention_mask,
                 deterministic, repeat: int = 1):
+        pixel_values = maybe_dequantize(pixel_values, self.dtype)
         b, t = pixel_values.shape[:2]
         flat = pixel_values.reshape((b * t,) + pixel_values.shape[2:])
         vis_hidden, vis_pooled = self.vis_model(flat)    # (B*T, P, D)

@@ -60,7 +60,7 @@ class QAEngine:
                  nframe: int = 4, samp_policy: str = "uniform",
                  batch_size: int = 8, linger_ms: float = 5.0,
                  max_txt_len: int = 20, max_text_len: int = 50,
-                 mesh=None):
+                 mesh=None, pixel_dtype: str = "f32"):
         import jax.numpy as jnp
         from sasvqa_tpu.data.dataset import ClassifierCollator, GITCollator
         from sasvqa_tpu.train import steps as train_steps
@@ -77,16 +77,24 @@ class QAEngine:
         self.batch_size = int(batch_size)
         self.linger_s = float(linger_ms) / 1e3
 
+        # pixel_dtype: the request->device wire format.  "u8" quarters
+        # the dominant transfer (core/pixels.py; lossless when requests
+        # come from preprocess_frames, e.g. the CLI decode path) — on
+        # H2D-bound hosts serving is ~85% pixel staging (BASELINE.md).
+        # The f32 default keeps the engine's numerics byte-identical to
+        # direct eval for arbitrary float inputs.
         if family == "git":
             self._collator = GITCollator(
                 tokenizer, max_txt_len=max_txt_len, task_type="msvd_qa",
-                nframe=nframe, samp_policy=samp_policy, add_ans=False)
+                nframe=nframe, samp_policy=samp_policy, add_ans=False,
+                pixel_dtype=pixel_dtype)
             self._eval_step = train_steps.make_git_eval_step(
                 model, max_text_len=max_text_len, mesh=mesh)
         else:
             self._collator = ClassifierCollator(
                 tokenizer, max_txt_len=max_txt_len, task_type="msvd_qa",
-                nframe=nframe, samp_policy=samp_policy)
+                nframe=nframe, samp_policy=samp_policy,
+                pixel_dtype=pixel_dtype)
             self._eval_step = train_steps.make_classifier_eval_step(
                 mesh=mesh)
         self._state = train_steps.TrainState(
@@ -276,6 +284,13 @@ def build_argparser():
                         "nframe re-sampling (the stage-A K)")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--linger_ms", type=float, default=5.0)
+    p.add_argument("--pixel_dtype", default="u8",
+                   choices=["f32", "bf16", "u8"],
+                   help="request->device pixel wire format.  The CLI "
+                        "default is u8: its frames come from "
+                        "preprocess_frames (on the uint8 grid), where "
+                        "u8 staging is LOSSLESS at a quarter of f32's "
+                        "bytes (core/pixels.py)")
     return p
 
 
@@ -335,7 +350,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                  args.img_size)[0]) for req in requests]
     with QAEngine(model, params, family, tokenizer, ans2label=ans2label,
                   nframe=args.nframe, batch_size=args.batch_size,
-                  linger_ms=args.linger_ms) as engine, \
+                  linger_ms=args.linger_ms,
+                  pixel_dtype=args.pixel_dtype) as engine, \
             open(args.out, "w") as out:
         futs = [(req, engine.submit(frames, req["question"]))
                 for req, frames in decoded]

@@ -40,8 +40,9 @@ from sasvqa_tpu.utils.basic import load_json, save_json
 
 # CLIP-style normalization constants used by the HF processors the
 # reference runs frames through (AutoProcessor for git-base/clip).
-CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+# Single-sourced in core/pixels.py (the u8 staging wire format must
+# invert exactly this affine).
+from sasvqa_tpu.core.pixels import CLIP_MEAN, CLIP_STD  # noqa: E402
 
 BUCKETS = (64, 128, 256, 512, 1024, 2048)
 

@@ -111,6 +111,21 @@ def test_git_end_to_end(synth, tmp_path):
     assert "overall_acc" in result["val"]
 
 
+def test_git_end_to_end_u8_staging(synth, tmp_path):
+    """--stage_pixels_u8: the full runner (scan-accum train + generative
+    validate) with uint8 pixel wire format — collators quantize, models
+    dequantize in-jit (core/pixels.py)."""
+    from sasvqa_tpu.tasks.run_video_qa import main
+    cfg_path = _write_config(
+        tmp_path, synth,
+        {"pretrained_model": "tiny-git", "vocab_size": 512, "img_len": 2},
+        gen_max_text_len=24, gen_max_new_tokens=4,
+        stage_pixels_u8=1)
+    result = main(["--task", "msvd_qa", "--config", cfg_path])
+    assert np.isfinite(result["train_loss"])
+    assert "overall_acc" in result["val"]
+
+
 def test_git_e2e_tensor_parallel_mesh(synth, tmp_path):
     """--mesh_axes data model selects Megatron-TP from the CLI: the full
     runner (train + generative validate) executes on a (data=2, model=2)
