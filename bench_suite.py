@@ -388,8 +388,10 @@ def _measure_hostdisk(name="hostdisk_margin", n_batches=30,
     identical row geometry).  Questions tokenize through a 30k-entry
     WordPiece vocab (BERT scale).  Reads are page-cache warm after the
     warmup pass — the steady-state regime of epoch training on a pod
-    host (stores ≪ host RAM); the first-epoch cold read is disk-
-    bandwidth-bound and reported separately as h5_read_ms.
+    host (stores ≪ host RAM).  h5_read_ms isolates the warm h5 cost of
+    the collate's OWN access pattern: the timed loop's partial-frame
+    reads are recorded and replayed alone (first-epoch cold reads are
+    additionally disk-bandwidth-bound and not modeled here).
     """
     import os
     from sasvqa_tpu.data.annotations import (build_common_answer_dict,
@@ -457,17 +459,28 @@ def _measure_hostdisk(name="hostdisk_margin", n_batches=30,
                 for _ in range(n_batches + 1)]
         collate_indices(ds, collator, idxs[0],
                         np.random.default_rng(1))  # warm cache + trie
+        # record the EXACT partial-frame reads the collate loop issues
+        # so the isolated h5 cost below replays the same access pattern
+        # (same rows, same selected frames) — a full-row sweep would
+        # overstate the h5 share by up to k_stored/k_used
+        reads = []
+        orig_read = ds.store.read_frames_nhwc
+
+        def _recording_read(row, inds):
+            reads.append((row, np.asarray(inds).copy()))
+            return orig_read(row, inds)
+
+        ds.store.read_frames_nhwc = _recording_read
         t0 = time.perf_counter()
         for i in range(1, n_batches + 1):
             batch = collate_indices(ds, collator, idxs[i],
                                     np.random.default_rng(i))
         dt = (time.perf_counter() - t0) / n_batches
-        # isolated warm h5-read cost for the same row pattern
-        n_vid = ds.store.shape[0]
+        del ds.store.read_frames_nhwc          # un-shadow the method
+        # isolated warm h5-read cost, replaying the recorded pattern
         t0 = time.perf_counter()
-        for i in range(n_batches):
-            for r in range(b):
-                ds.store.read_nhwc((i * b + r) % n_vid)
+        for row, inds in reads:
+            ds.store.read_frames_nhwc(row, inds)
         h5_dt = (time.perf_counter() - t0) / n_batches
         host_qa = b / dt
         print(json.dumps({

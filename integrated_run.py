@@ -121,7 +121,7 @@ def main(argv=None):
             m = re.search(r"step (\d+)/(\d+) .*\((\d+)s\)", line)
             if m:
                 step_marks.append((int(m.group(1)), int(m.group(3))))
-            m = re.search(r"\[(valid|final_valid|final_test)\] (\d+) "
+            m = re.search(r"\[(valid|test|final_valid|final_test)\] (\d+) "
                           r"examples in ([0-9.]+)s", line)
             if m:
                 val_walls.append((m.group(1), int(m.group(2)),
@@ -135,18 +135,27 @@ def main(argv=None):
               "train_loss": float(res["train_loss"])}
     if len(step_marks) >= 2:
         (s0, t0s), (s1, t1s) = step_marks[0], step_marks[-1]
-        # exclude any validation wall that fell inside the window
-        val_inside = sum(w for tag, _, w in val_walls if tag == "valid")
+        # exclude every IN-LOOP eval wall that fell inside the window:
+        # run_validation() evaluates BOTH the valid and test splits
+        # (run_video_qa.py:570-578); final_* runs after training ends,
+        # past the last step mark
+        val_inside = sum(w for tag, _, w in val_walls
+                         if tag in ("valid", "test"))
         steady = (t1s - t0s) - val_inside
         steps = s1 - s0
-        report.update({
-            "steady_steps_per_s": round(steps / steady, 4),
-            "steady_qa_pairs_per_s": round(steps * global_batch / steady,
-                                           1),
-            "steady_ms_per_micro": round(1000 * steady / (steps * accum),
-                                         2),
-            "first_window_s": t0s,   # includes compile + cache warm
-        })
+        if steady > 0:
+            report.update({
+                "steady_steps_per_s": round(steps / steady, 4),
+                "steady_qa_pairs_per_s": round(
+                    steps * global_batch / steady, 1),
+                "steady_ms_per_micro": round(
+                    1000 * steady / (steps * accum), 2),
+                "first_window_s": t0s,  # includes compile + cache warm
+            })
+        else:
+            report["steady_window_note"] = (
+                "in-loop eval walls exceed the step-mark window; "
+                "rerun with more --steps or --val_limit")
     for tag, n, w in val_walls:
         report[f"eval_{tag}_s"] = w
         report[f"eval_{tag}_qa_per_s"] = round(n / w, 1)

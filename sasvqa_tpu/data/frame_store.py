@@ -149,10 +149,6 @@ class LazyVideoFrames:
     def __getitem__(self, frame_inds) -> np.ndarray:
         return self.store.read_frames_nhwc(self.row, frame_inds)
 
-    def materialize(self) -> np.ndarray:
-        """Full eager row (K, H, W, 3) for consumers that need it."""
-        return self.store.read_nhwc(self.row)
-
 
 def save_vidmapping(video_ids: List[str], path: str) -> Dict[str, int]:
     mapping = {vid: i for i, vid in enumerate(video_ids)}

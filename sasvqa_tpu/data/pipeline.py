@@ -233,9 +233,14 @@ def epoch_batches(dataset, collator, batch_size: int, shuffle: bool,
             order = np.resize(order, n_steps * gb)
         pos = np.asarray(host_positions)
         batches = [order[t * gb + pos] for t in range(n_steps)]
-        # seed excludes the process index: replica hosts must collate
-        # bitwise-identically
-        seeds = [(collate_seed, b) for b in range(len(batches))]
+        # seed by the host's row BLOCK (first global row), not the
+        # process index: replica hosts (identical positions) must
+        # collate bitwise-identically, while disjoint-block hosts need
+        # INDEPENDENT collator draws (e.g. 'random'-policy frame
+        # gumbel noise) — host_batch_positions guarantees row sets are
+        # identical or disjoint, so pos[0] fingerprints the block
+        seeds = [(collate_seed, b, int(pos[0]))
+                 for b in range(len(batches))]
     else:
         if pc > 1:
             order = shard_for_host(order, pi, pc)

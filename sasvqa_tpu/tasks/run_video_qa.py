@@ -320,6 +320,21 @@ def validate(state, dataset, collator, cfg, family, tokenizer, ans2label,
 
 
 def start_training(cfg) -> Dict[str, Any]:
+    if cfg.get("platform") == "cpu":
+        # --platform cpu must also move the DEFAULT device, and must do
+        # so BEFORE any jax dispatch (set_random_seed runs
+        # jax.random.key on the default backend): the mesh alone only
+        # places mesh-sharded arrays, and the axon TPU plugin ignores
+        # JAX_PLATFORMS=cpu, so in-process forcing is the only reliable
+        # switch (CLAUDE.md hazard).  A late switch would still attach
+        # a second TPU client from a "cpu" smoke run — able to perturb
+        # a concurrent real-chip job.  Must be a LOCAL device: under
+        # jax.distributed, jax.devices("cpu")[0] is process 0's device,
+        # non-addressable from other tasks — a worker that defaults to
+        # it dies at its first dispatch and the survivors hang in
+        # collectives until the shutdown-barrier deadline.
+        jax.config.update("jax_default_device",
+                          jax.local_devices(backend="cpu")[0])
     key, host_rng = set_random_seed(cfg.seed)
     is_mc = cfg.task in ("action", "transition")
 
@@ -359,15 +374,6 @@ def start_training(cfg) -> Dict[str, Any]:
 
     train_ds, val_ds, test_ds = setup_datasets(cfg, ans2label)
 
-    if cfg.get("platform") == "cpu":
-        # --platform cpu must also move the DEFAULT device: the mesh
-        # alone only places mesh-sharded arrays, and any stray
-        # non-mesh op would otherwise run on an attached accelerator
-        # (the axon TPU plugin ignores JAX_PLATFORMS=cpu, so in-process
-        # forcing is the only reliable switch — CLAUDE.md hazard;
-        # previously only tests/conftest.py and integrated_run.py did
-        # this, so the CLI flag alone mixed backends)
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
     mesh = make_mesh(shape=cfg.get("mesh_shape"), axes=cfg.get("mesh_axes"),
                      platform=cfg.get("platform"))
     n_dev = mesh.devices.size

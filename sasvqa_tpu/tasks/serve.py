@@ -258,6 +258,42 @@ class QAEngine:
 # CLI: JSONL in -> JSONL out over a trained checkpoint
 
 
+def serve_requests(engine, requests, decode, out, *, batch_size: int,
+                   decode_workers: int = 4) -> None:
+    """Bounded decode-ahead request loop (advisor r4 + r5 review).
+
+    A decode thread pool keeps submission bursty enough to fill engine
+    batches (serial decode + the 5 ms linger would dispatch every
+    request as a padded single — up to batch_size× wasted TPU compute),
+    while a sliding in-flight window caps memory at O(window) decoded
+    clips — decoding everything up front would hold ~9.6 MB ×
+    len(requests) (96 GB for a 10k-request JSONL).  Answers are written
+    to ``out`` in request order.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    window = max(4 * batch_size, 2 * decode_workers)
+    with ThreadPoolExecutor(decode_workers) as pool:
+        def decode_and_submit(req):
+            return engine.submit(decode(req), req["question"])
+
+        pending: deque = deque()
+
+        def drain_one():
+            req, dfut = pending.popleft()
+            res = dfut.result().result()   # decode future -> answer
+            out.write(json.dumps({"question": req["question"],
+                                  **res}) + "\n")
+
+        for req in requests:
+            pending.append((req, pool.submit(decode_and_submit, req)))
+            if len(pending) >= window:
+                drain_one()
+        while pending:
+            drain_one()
+
+
 def build_argparser():
     p = argparse.ArgumentParser(
         description="batched video-QA serving over JSONL requests")
@@ -283,6 +319,10 @@ def build_argparser():
                    help="frames decoded per video before the collator's "
                         "nframe re-sampling (the stage-A K)")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--decode_workers", type=int, default=4,
+                   help="CLI decode-ahead threads: enough decode "
+                        "throughput to fill engine batches without "
+                        "holding every clip in memory at once")
     p.add_argument("--linger_ms", type=float, default=5.0)
     p.add_argument("--pixel_dtype", default="u8",
                    choices=["f32", "bf16", "u8"],
@@ -341,24 +381,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     LOGGER.info(f"serving {len(requests)} requests "
                 f"(batch_size={args.batch_size})")
 
-    # Decode ALL videos before submitting: with the default 5 ms linger,
-    # submitting as we decode would dispatch every request as a batch of
-    # 1 padded to batch_size — correct answers but up to batch_size×
-    # wasted TPU compute (advisor r4).  Decoding first lets the engine
-    # fill real batches back-to-back.
-    decoded = [(req, load_frames(req["video"], args.stored_frames,
-                                 args.img_size)[0]) for req in requests]
     with QAEngine(model, params, family, tokenizer, ans2label=ans2label,
                   nframe=args.nframe, batch_size=args.batch_size,
                   linger_ms=args.linger_ms,
                   pixel_dtype=args.pixel_dtype) as engine, \
             open(args.out, "w") as out:
-        futs = [(req, engine.submit(frames, req["question"]))
-                for req, frames in decoded]
-        for req, fut in futs:
-            res = fut.result()
-            out.write(json.dumps({"question": req["question"],
-                                  **res}) + "\n")
+        def decode(req):
+            return load_frames(req["video"], args.stored_frames,
+                               args.img_size)[0]
+        serve_requests(engine, requests, decode, out,
+                       batch_size=args.batch_size,
+                       decode_workers=args.decode_workers)
     LOGGER.info(f"done: {engine.stats}")
     return 0
 

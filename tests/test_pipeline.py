@@ -135,6 +135,11 @@ def test_epoch_batches_general_positions():
     for a, b in zip(r0, r1):
         np.testing.assert_array_equal(a["idx"], b["idx"])
         np.testing.assert_array_equal(a["jitter"], b["jitter"])
+    # disjoint blocks: hosts 0/1 must draw INDEPENDENT collator noise —
+    # a shared generator would correlate 'random'-policy frame draws
+    # across host blocks of every global batch
+    for a, b in zip(h0, h1):
+        assert not np.array_equal(a["jitter"], b["jitter"])
 
 
 def test_host_batch_positions_single_process_and_guard():

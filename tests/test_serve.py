@@ -178,3 +178,59 @@ def test_classifier_requires_vocab():
     family, model, params, tok = _build("tiny-clip", num_labels=3)
     with pytest.raises(ValueError):
         QAEngine(model, params, family, tok, ans2label=None)
+
+
+def test_serve_requests_bounded_window_and_order():
+    """CLI request loop (serve_requests): answers land in request order,
+    decode failures propagate, and the number of simultaneously-live
+    decoded clips stays O(window), not O(len(requests)) — the r5 review
+    found the previous decode-everything form held every clip at once."""
+    import io
+    import json as _json
+    import time
+    from concurrent.futures import Future
+
+    from sasvqa_tpu.tasks.serve import serve_requests
+
+    live = {"n": 0, "max": 0}
+    lock = threading.Lock()
+
+    class _Clip:
+        def __init__(self):
+            with lock:
+                live["n"] += 1
+                live["max"] = max(live["max"], live["n"])
+
+        def release(self):
+            with lock:
+                live["n"] -= 1
+
+    class _FakeEngine:
+        def submit(self, frames, question):
+            fut = Future()
+
+            def resolve():
+                time.sleep(0.002)
+                frames.release()
+                fut.set_result({"answer": question[::-1], "label": 0})
+
+            threading.Thread(target=resolve, daemon=True).start()
+            return fut
+
+    reqs = [{"video": f"v{i}", "question": f"q{i}"} for i in range(100)]
+    out = io.StringIO()
+    batch_size, workers = 4, 2
+    serve_requests(_FakeEngine(), reqs, lambda req: _Clip(), out,
+                   batch_size=batch_size, decode_workers=workers)
+    lines = [_json.loads(ln) for ln in out.getvalue().splitlines()]
+    assert [ln["question"] for ln in lines] == [r["question"] for r in reqs]
+    assert all(ln["answer"] == ln["question"][::-1] for ln in lines)
+    window = max(4 * batch_size, 2 * workers)
+    assert live["max"] <= window + 1, live["max"]
+
+    def boom(req):
+        raise OSError(f"decode failed: {req['video']}")
+
+    with pytest.raises(OSError, match="decode failed"):
+        serve_requests(_FakeEngine(), reqs[:3], boom, io.StringIO(),
+                       batch_size=batch_size, decode_workers=workers)
